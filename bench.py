@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s per chip at 4096 parallel envs.
+
+Runs the primary workload (formation_hd_env, N=3 unless overridden) with
+random actions through a jitted ``lax.scan`` of the full env step (physics +
+obs + reward + done + auto-reset), vmapped over the env batch on the default
+device.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+
+Baseline (BASELINE.md): 1M env-steps/s per chip at 4096 envs.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import gym_formation_tpu as ft  # noqa: E402
+
+BASELINE_STEPS_PER_SEC = 1_000_000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenario", default="formation_hd_env")
+    p.add_argument("--num-agents", type=int, default=3)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=256, help="scan steps per device call")
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args()
+
+    env = ft.make_env(args.scenario, num_agents=args.num_agents)
+    B, T = args.num_envs, args.chunk
+
+    def policy(obs, key):
+        return jax.random.uniform(
+            key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
+        )
+
+    @jax.jit
+    def run_chunk(state, obs, key):
+        keys = jax.random.split(key, B)
+        (state, obs), outs = jax.vmap(
+            lambda s, o, k: ft.rollout(env, policy, s, o, k, T)
+        )(state, obs, keys)
+        return state, obs, outs.reward.sum()
+
+    key = jax.random.PRNGKey(0)
+    reset = jax.jit(jax.vmap(env.reset))
+    state, obs = reset(jax.random.split(key, B))
+
+    # warmup/compile
+    state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))
+    r.block_until_ready()
+
+    t0 = time.perf_counter()
+    total = 0
+    for i in range(args.iters):
+        state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(2 + i))
+        total += B * T
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = total / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, {B} envs)",
+                "value": round(steps_per_sec, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Vectorized MPE point-mass physics.
+
+TPU-native rewrite of the reference world step
+(``/root/reference/formation_gym/core.py:205-362``).  The reference walks an
+O(E²) Python double loop over entity pairs per step; here the whole step is a
+handful of dense [E,E] tensor ops on one environment, ``jax.vmap``-ed over the
+env batch by the caller, so XLA fuses the entire step into a few kernels and
+the batch axis maps onto the VPU lanes / mesh shards.
+
+All functions are pure: ``(pos, vel, u, key) -> (pos, vel)`` with the static
+:class:`~gym_formation_tpu.core.types.WorldCfg` closed over.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .types import WorldCfg, WallCfg
+
+Array = jnp.ndarray
+
+
+def collision_forces(pos: Array, cfg: WorldCfg) -> Array:
+    """Pairwise soft-contact forces, summed per entity.  [E, P].
+
+    Implements the softmax-penetration contact model of the reference
+    (``core.py:288-322``): for entities i, j
+
+        penetration = k * logaddexp(0, -(dist - (size_i+size_j)) / k)
+        F_ij        = contact_force * (pos_i - pos_j) / dist * penetration
+
+    with the mass-ratio split of ``core.py:314-318``.  For a movable pair the
+    reference applies ``(m_j/m_i) * F`` to i and ``-(m_i/m_j) * F`` to j;
+    since F is antisymmetric this is exactly ``force_on_i = Σ_j (m_j/m_i) *
+    F_ij`` — an order-independent reduction, which is why the Python pair loop
+    vectorizes without changing semantics.
+    """
+    eps = jnp.asarray(1e-12, pos.dtype) if cfg.nan_guard else jnp.asarray(0.0, pos.dtype)
+    delta = pos[:, None, :] - pos[None, :, :]  # [E,E,P]
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [E,E]
+    size = jnp.asarray(cfg.size, pos.dtype)
+    dist_min = size[:, None] + size[None, :]
+    k = cfg.contact_margin
+    penetration = jnp.logaddexp(0.0, -(dist - dist_min) / k) * k
+    # contact_force * delta / dist * penetration; dist=0 on the diagonal is
+    # masked below, off-diagonal dist=0 reproduces the reference NaN unless
+    # nan_guard (core.py:310-312).
+    coef = cfg.contact_force * penetration / jnp.maximum(dist, eps)
+    collide = jnp.asarray(cfg.collide)
+    movable = jnp.asarray(cfg.movable)
+    mass = jnp.asarray(cfg.mass, pos.dtype)
+    pair_ok = (
+        collide[:, None]
+        & collide[None, :]
+        & (movable[:, None] | movable[None, :])
+        & ~jnp.eye(cfg.n_entities, dtype=bool)
+    )
+    # Receiver i must be movable to feel a force (core.py:319-321).  When both
+    # ends are movable the mass ratio m_j/m_i applies; when only i is movable
+    # the raw force applies.
+    ratio = jnp.where(movable[None, :], mass[None, :] / mass[:, None], 1.0)
+    w = jnp.where(pair_ok & movable[:, None], coef * ratio, 0.0)  # [E,E]
+    return jnp.einsum("ij,ijp->ip", w, delta)
+
+
+def _wall_force_single(pos_e: Array, size_e: Array, wall: WallCfg, cfg: WorldCfg) -> Array:
+    """Force from one wall on one entity (reference ``core.py:324-362``)."""
+    prll, perp = (0, 1) if wall.orient == "H" else (1, 0)
+    p = pos_e[prll]
+    lo, hi = wall.endpoints
+    beyond = (p < lo - size_e) | (p > hi + size_e)
+    inside = (p >= lo) & (p <= hi)
+    dist_past_end = jnp.where(p < lo, p - lo, p - hi)
+    dist_past_end = jnp.where(inside, 0.0, dist_past_end)
+    theta = jnp.where(
+        inside, 0.0, jnp.arcsin(jnp.clip(dist_past_end / size_e, -1.0, 1.0))
+    )
+    dist_min = jnp.cos(theta) * size_e + 0.5 * wall.width
+    delta = pos_e[perp] - wall.axis_pos
+    dist = jnp.abs(delta)
+    k = cfg.contact_margin
+    penetration = jnp.logaddexp(0.0, -(dist - dist_min) / k) * k
+    eps = 1e-12 if cfg.nan_guard else 0.0
+    force_mag = cfg.contact_force * delta / jnp.maximum(dist, eps) * penetration
+    f = jnp.zeros(2, pos_e.dtype)
+    f = f.at[perp].set(jnp.cos(theta) * force_mag)
+    f = f.at[prll].set(jnp.sin(theta) * jnp.abs(force_mag))
+    return jnp.where(beyond, 0.0, f)
+
+
+def wall_forces(pos: Array, cfg: WorldCfg) -> Array:
+    """Sum of wall contact forces per entity.  [E, P].  Zero if no walls."""
+    if not cfg.walls:
+        return jnp.zeros_like(pos)
+    size = jnp.asarray(cfg.size, pos.dtype)
+    movable = jnp.asarray(cfg.movable)
+    total = jnp.zeros_like(pos)
+    for wall in cfg.walls:
+        ghost_ok = True  # no ghost entities in any shipped scenario
+        if not ghost_ok and not wall.hard:
+            continue
+        f = jax.vmap(lambda pe, se: _wall_force_single(pe, se, wall, cfg))(pos, size)
+        total = total + jnp.where(movable[:, None], f, 0.0)
+    return total
+
+
+def action_forces(
+    u: Array, cfg: WorldCfg, key: Optional[Array] = None
+) -> Array:
+    """Control forces for agents, padded with zeros for landmarks.  [E, P].
+
+    ``F = mass * (accel or 1) * u (+ u_noise * N(0,1))`` — reference
+    ``core.py:228-237``.
+    """
+    coef = jnp.asarray(cfg.act_coef, u.dtype)
+    f_agents = coef[:, None] * u
+    if key is not None and np.any(cfg.u_noise > 0):
+        noise = jax.random.normal(key, u.shape, u.dtype) * jnp.asarray(
+            cfg.u_noise, u.dtype
+        )[:, None]
+        f_agents = f_agents + noise
+    pad = jnp.zeros((cfg.n_landmarks, u.shape[-1]), u.dtype)
+    return jnp.concatenate([f_agents, pad], axis=0)
+
+
+def integrate(pos: Array, vel: Array, force: Array, cfg: WorldCfg) -> Tuple[Array, Array]:
+    """Damped semi-implicit Euler with per-entity speed clamp
+    (reference ``core.py:264-277``).  Non-movable entities keep pos/vel."""
+    movable = jnp.asarray(cfg.movable)[:, None]
+    mass = jnp.asarray(cfg.mass, pos.dtype)[:, None]
+    new_vel = vel * (1.0 - cfg.damping) + (force / mass) * cfg.dt
+    max_speed = jnp.asarray(cfg.max_speed, pos.dtype)
+    if np.any(np.isfinite(cfg.max_speed)):
+        speed = jnp.linalg.norm(new_vel, axis=-1, keepdims=True)
+        scale = jnp.where(
+            speed > max_speed[:, None], max_speed[:, None] / jnp.maximum(speed, 1e-12), 1.0
+        )
+        new_vel = new_vel * scale
+    new_vel = jnp.where(movable, new_vel, vel)
+    new_pos = jnp.where(movable, pos + new_vel * cfg.dt, pos)
+    return new_pos, new_vel
+
+
+def world_step(
+    pos: Array,
+    vel: Array,
+    u: Array,
+    cfg: WorldCfg,
+    key: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """One physics step for a single environment.
+
+    Equivalent to ``World.step`` (``core.py:205-225``) minus scripted agents
+    and comm-state update (the env layer handles comm; no shipped scenario
+    uses scripted agents).
+
+    Args:
+      pos, vel: [E, P] entity state, agents first.
+      u: [n_agents, P] control (already sensitivity-scaled by the env layer,
+        matching ``environment.py:218-221``).
+      key: optional PRNG key for motor noise.
+    """
+    force = action_forces(u, cfg, key)
+    force = force + collision_forces(pos, cfg)
+    if cfg.walls:
+        force = force + wall_forces(pos, cfg)
+    return integrate(pos, vel, force, cfg)

@@ -1,0 +1,27 @@
+"""Test harness config: force an 8-virtual-device CPU JAX platform.
+
+Multi-chip hardware is not available in CI; sharding tests run on a virtual
+8-device CPU mesh (``--xla_force_host_platform_device_count=8``).  This must
+run before any test module touches a JAX backend; keep it at the top of
+conftest, before other imports that might pull in jax.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

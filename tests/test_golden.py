@@ -1,0 +1,144 @@
+"""Golden-trajectory parity vs the reference numpy implementation.
+
+For each scenario: seed the reference env exactly as a trainer would
+(``env.seed(s); env.reset()``), replay the identical MT19937 reset with
+``compat.host_reset``, then step both engines with the same float64 action
+sequence and compare observations / rewards / dones per step.
+
+These tests exercise the reference *read-only* through tests/_refshim.py and
+skip cleanly if it cannot be imported.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from _refshim import reference_available, load_reference
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+import gym_formation_tpu as ft  # noqa: E402
+from gym_formation_tpu.compat import host_reset  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference implementation not importable"
+)
+
+SCENARIO_CONFIGS = [
+    # (name, num_agents, steps)
+    ("formation_hd_env", 3, 40),
+    ("formation_hd_env", 9, 15),
+    ("basic_formation_env", 3, 40),
+    ("formation_hd_obs_env", 4, 30),
+    ("formation_hd_partial_env", 5, 30),  # crosses world_length=25 → done parity
+    ("formation_hd_partial_range_env", 4, 30),
+]
+
+
+def make_pair(name, num_agents, seed):
+    ref = load_reference()
+    ref_env = ref.make_env(name, benchmark=False, num_agents=num_agents)
+    ref_env.seed(seed)
+    ref_obs = ref_env.reset()
+    scenario = ft.make_scenario(name, num_agents=num_agents, dtype=jnp.float64)
+    env = ft.FormationEnv(scenario, auto_reset=False)
+    state = host_reset(scenario, seed)
+    state = scenario.pre_obs(state)
+    obs = scenario.observe(state)
+    return ref_env, ref_obs, env, state, obs
+
+
+@pytest.mark.parametrize("name,n,steps", SCENARIO_CONFIGS)
+def test_rollout_parity(name, n, steps):
+    seed = 7
+    ref_env, ref_obs, env, state, obs = make_pair(name, n, seed)
+    np.testing.assert_allclose(
+        np.asarray(obs), np.stack(ref_obs), atol=1e-12, err_msg="reset obs"
+    )
+    rng = np.random.RandomState(123)
+    step = jax.jit(env.step)
+    for t in range(steps):
+        acts = rng.uniform(-1, 1, (n, 2))
+        # copy: the reference's _set_action scales the caller's array in place
+        # (environment.py:216-221 operates on a view)
+        ref_obs, ref_rew, ref_done, ref_info = ref_env.step([a.copy() for a in acts])
+        state, out = step(state, jnp.asarray(acts))
+        np.testing.assert_allclose(
+            np.asarray(out.obs), np.stack(ref_obs), atol=1e-9, err_msg=f"obs@{t}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.reward),
+            np.asarray(ref_rew).reshape(-1),
+            atol=1e-9,
+            err_msg=f"reward@{t}",
+        )
+        assert list(np.asarray(out.done)) == list(ref_done), f"done@{t}"
+        np.testing.assert_allclose(
+            np.asarray(out.info["individual_reward"]),
+            np.asarray([i["individual_reward"] for i in ref_info]),
+            atol=1e-9,
+            err_msg=f"indiv@{t}",
+        )
+
+
+def test_host_reset_matches_reference_world():
+    ref = load_reference()
+    seed = 11
+    ref_env = ref.make_env("formation_hd_env", benchmark=False, num_agents=3)
+    ref_env.seed(seed)
+    ref_env.reset()
+    world = ref_env.world
+    scenario = ft.make_scenario("formation_hd_env", num_agents=3, dtype=jnp.float64)
+    state = scenario.pre_obs(host_reset(scenario, seed))
+    np.testing.assert_allclose(
+        np.asarray(state.pos[:3]),
+        np.stack([a.state.p_pos for a in world.agents]),
+        atol=0,
+    )
+    # Landmarks in the reference world are recentred by the first obs call.
+    np.testing.assert_allclose(
+        np.asarray(state.pos[3:]),
+        np.stack([l.state.p_pos for l in world.landmarks]),
+        atol=1e-12,
+    )
+    scen_obj = ref_env  # ideal shape lives on the reference Scenario object
+
+
+def test_benchmark_quartet_matches_reference():
+    ref = load_reference()
+    seed = 3
+    name, n = "formation_hd_env", 3
+    ref_env = ref.make_env(name, benchmark=True, num_agents=n)
+    ref_env.seed(seed)
+    ref_env.reset()
+    scenario = ft.make_scenario(name, num_agents=n, dtype=jnp.float64)
+    env = ft.FormationEnv(scenario, benchmark=True, auto_reset=False)
+    state = scenario.pre_obs(host_reset(scenario, seed))
+    rng = np.random.RandomState(5)
+    step = jax.jit(env.step)
+    # Find the scenario object the reference wired as info_callback.
+    ref_bench = ref_env.info_callback
+    for t in range(10):
+        acts = rng.uniform(-1, 1, (n, 2))
+        ref_env.step([a.copy() for a in acts])
+        state, out = step(state, jnp.asarray(acts))
+        ref_q = [ref_bench(a, ref_env.world) for a in ref_env.world.agents]
+        np.testing.assert_allclose(
+            np.asarray(out.info["reward"]),
+            [q["reward"] for q in ref_q],
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.info["collisions"]), [q["collisions"] for q in ref_q]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.info["min_dists"]),
+            [q["min_dists"] for q in ref_q],
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.info["occupied_landmarks"]),
+            [q["occupied_landmarks"] for q in ref_q],
+        )
