@@ -1,0 +1,330 @@
+"""MADDPG: centralized-critic DDPG — the reference's converging baseline
+(``/root/reference/train/maddpg-v1/``: per-agent actor/critic + targets,
+centralized critic over all obs+actions, ε-greedy uniform exploration with
+Gaussian action noise, soft target updates; hyperparameters from
+``common/arguments.py:9-39``).
+
+TPU-native design: the reference loops one env step and N sequential
+per-agent torch updates on CPU (``runner.py:31-54``); here all N agents'
+networks are ONE stacked parameter pytree (leading agent axis, built with
+``vmap(init)``) and every update trains all agents simultaneously with a
+single vmapped gradient — the per-agent matmuls batch onto the MXU.  The
+replay buffer lives in device memory and env interaction + updates run in one
+jitted program.
+
+Faithful quirks kept (flag-gated): TD target without a done mask
+(``maddpg/maddpg.py:82``, SURVEY §8.4; ``mask_done=True`` restores the
+standard target), linear noise/epsilon decay ``-5e-7/step`` to 0.05
+(``runner.py:62-63``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..env import FormationEnv
+from ..models.networks import CentralizedQCritic, DeterministicActor
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MADDPGConfig:
+    lr_actor: float = 1e-4
+    lr_critic: float = 1e-4
+    epsilon: float = 0.1
+    noise_rate: float = 0.25
+    explore_decay: float = 5e-7
+    explore_min: float = 0.05
+    gamma: float = 0.95
+    tau: float = 0.01
+    buffer_size: int = 500_000
+    batch_size: int = 256
+    hidden: Tuple[int, ...] = (64, 64, 64)
+    high_action: float = 1.0
+    mask_done: bool = False  # v1 semantics: no done mask in the TD target
+    steps_per_iter: int = 32  # env steps collected per train_step call
+    updates_per_iter: int = 32  # gradient updates per train_step call
+
+
+@struct.dataclass
+class ReplayBuffer:
+    """Device-resident ring buffer, transitions batched over envs.
+
+    Replaces the host dict-of-arrays buffer with threading.Lock
+    (``maddpg-v1/common/replay_buffer.py:5-54``); a ring overwrite stands in
+    for the reference's random-overwrite-when-full.
+    """
+
+    obs: Array  # [cap, N, do]
+    action: Array  # [cap, N, da]
+    reward: Array  # [cap, N]
+    next_obs: Array  # [cap, N, do]
+    done: Array  # [cap]
+    ptr: Array  # i32
+    size: Array  # i32
+
+    @classmethod
+    def create(cls, cap: int, n_agents: int, obs_dim: int, act_dim: int):
+        return cls(
+            obs=jnp.zeros((cap, n_agents, obs_dim)),
+            action=jnp.zeros((cap, n_agents, act_dim)),
+            reward=jnp.zeros((cap, n_agents)),
+            next_obs=jnp.zeros((cap, n_agents, obs_dim)),
+            done=jnp.zeros((cap,), bool),
+            ptr=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+
+    def insert(self, obs, action, reward, next_obs, done) -> "ReplayBuffer":
+        """Insert a [B, ...] batch of transitions at the ring pointer."""
+        cap = self.obs.shape[0]
+        b = obs.shape[0]
+        idx = (self.ptr + jnp.arange(b)) % cap
+        return self.replace(
+            obs=self.obs.at[idx].set(obs),
+            action=self.action.at[idx].set(action),
+            reward=self.reward.at[idx].set(reward),
+            next_obs=self.next_obs.at[idx].set(next_obs),
+            done=self.done.at[idx].set(done),
+            ptr=(self.ptr + b) % cap,
+            size=jnp.minimum(self.size + b, cap),
+        )
+
+    def sample(self, key, batch_size: int):
+        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(self.size, 1))
+        return {
+            "obs": self.obs[idx],
+            "action": self.action[idx],
+            "reward": self.reward[idx],
+            "next_obs": self.next_obs[idx],
+            "done": self.done[idx],
+        }
+
+
+@struct.dataclass
+class MADDPGState:
+    actor_params: dict  # stacked [N, ...]
+    critic_params: dict  # stacked [N, ...]
+    target_actor_params: dict
+    target_critic_params: dict
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    noise: Array
+    epsilon: Array
+    env_steps: Array
+
+
+class MADDPG:
+    def __init__(
+        self, env: FormationEnv, cfg: MADDPGConfig = MADDPGConfig(), num_envs: int = 32
+    ):
+        self.env = env
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.n_agents = env.num_agents
+        self.obs_dim = env.scenario.obs_dim
+        self.act_dim = env.act_dim
+        self.actor = DeterministicActor(self.act_dim, cfg.high_action, cfg.hidden)
+        self.critic = CentralizedQCritic(cfg.high_action, cfg.hidden)
+        self.actor_tx = optax.adam(cfg.lr_actor)
+        self.critic_tx = optax.adam(cfg.lr_critic)
+
+    # -- param stacking over the agent axis ---------------------------------
+    def _init_stacked(self, key):
+        n = self.n_agents
+        ka, kc = jax.random.split(key)
+        obs0 = jnp.zeros((1, self.obs_dim))
+        oall0 = jnp.zeros((1, self.obs_dim * n))
+        uall0 = jnp.zeros((1, self.act_dim * n))
+        actor_params = jax.vmap(lambda k: self.actor.init(k, obs0))(
+            jax.random.split(ka, n)
+        )
+        critic_params = jax.vmap(lambda k: self.critic.init(k, oall0, uall0))(
+            jax.random.split(kc, n)
+        )
+        return actor_params, critic_params
+
+    def _actor_all(self, params, obs):
+        """Stacked per-agent actor apply: obs [..., N, do] → [..., N, da]."""
+        return jax.vmap(self.actor.apply, in_axes=(0, -2), out_axes=-2)(params, obs)
+
+    def init(self, key: Array):
+        k_net, k_env = jax.random.split(key)
+        actor_params, critic_params = self._init_stacked(k_net)
+        copy = lambda t: jax.tree.map(lambda x: x.copy(), t)
+        ts = MADDPGState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            # distinct buffers: train_step donates the whole state, and donated
+            # args must not alias
+            target_actor_params=copy(actor_params),
+            target_critic_params=copy(critic_params),
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            noise=jnp.asarray(self.cfg.noise_rate),
+            epsilon=jnp.asarray(self.cfg.epsilon),
+            env_steps=jnp.zeros((), jnp.int32),
+        )
+        buffer = ReplayBuffer.create(
+            self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
+        )
+        env_state, obs = jax.vmap(self.env.reset)(
+            jax.random.split(k_env, self.num_envs)
+        )
+        return ts, buffer, env_state, obs
+
+    # -- exploration (reference agent.py:13-23) -----------------------------
+    def explore_actions(self, ts: MADDPGState, obs: Array, key) -> Array:
+        """ε-greedy uniform vs actor + Gaussian noise, clipped to ±high."""
+        cfg = self.cfg
+        k_eps, k_uni, k_noise = jax.random.split(key, 3)
+        B = obs.shape[0]
+        pi = self._actor_all(ts.actor_params, obs)
+        noisy = pi + ts.noise * cfg.high_action * jax.random.normal(k_noise, pi.shape)
+        noisy = jnp.clip(noisy, -cfg.high_action, cfg.high_action)
+        uniform = jax.random.uniform(
+            k_uni, pi.shape, pi.dtype, -cfg.high_action, cfg.high_action
+        )
+        take_uniform = (
+            jax.random.uniform(k_eps, (B, self.n_agents, 1)) < ts.epsilon
+        )
+        return jnp.where(take_uniform, uniform, noisy)
+
+    # -- losses -------------------------------------------------------------
+    def _losses(self, actor_params, critic_params, ts, batch):
+        """Joint per-agent losses, all agents at once.
+
+        critic_i: MSE to r_i + γ Q'_i(o', a'_targets);
+        actor_i: −Q_i(o, u with own action re-sampled) (``maddpg.py:88-91``).
+        """
+        cfg = self.cfg
+        M = batch["obs"].shape[0]
+        o_all = batch["obs"].reshape(M, -1)
+        u_all_b = batch["action"]
+        on_all = batch["next_obs"].reshape(M, -1)
+        u_next = self._actor_all(ts.target_actor_params, batch["next_obs"])
+        un_all = u_next.reshape(M, -1)
+        nonterm = (
+            (1.0 - batch["done"].astype(jnp.float32)) if cfg.mask_done else 1.0
+        )
+
+        def per_agent(i, aparams_i, cparams_i, tcparams_i):
+            q_next = self.critic.apply(tcparams_i, on_all, un_all)
+            target = batch["reward"][:, i] + cfg.gamma * q_next * nonterm
+            q = self.critic.apply(cparams_i, o_all, u_all_b.reshape(M, -1))
+            critic_loss = jnp.mean((jax.lax.stop_gradient(target) - q) ** 2)
+            # actor: substitute own action
+            a_i = self.actor.apply(aparams_i, batch["obs"][:, i])
+            u_sub = u_all_b.at[:, i].set(a_i).reshape(M, -1)
+            actor_loss = -jnp.mean(
+                self.critic.apply(jax.lax.stop_gradient(cparams_i), o_all, u_sub)
+            )
+            return critic_loss, actor_loss
+
+        idx = jnp.arange(self.n_agents)
+        critic_losses, actor_losses = jax.vmap(
+            per_agent, in_axes=(0, 0, 0, 0)
+        )(idx, actor_params, critic_params, ts.target_critic_params)
+        return critic_losses.sum() + actor_losses.sum(), {
+            "critic_loss": critic_losses.mean(),
+            "actor_loss": actor_losses.mean(),
+        }
+
+    def _update_once(self, ts: MADDPGState, batch):
+        cfg = self.cfg
+
+        def actor_loss_fn(ap):
+            loss, aux = self._losses(ap, ts.critic_params, ts, batch)
+            return loss, aux
+
+        def critic_loss_fn(cp):
+            loss, aux = self._losses(ts.actor_params, cp, ts, batch)
+            return loss, aux
+
+        (_, aux), a_grads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
+            ts.actor_params
+        )
+        (_, _), c_grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+            ts.critic_params
+        )
+        a_updates, actor_opt = self.actor_tx.update(a_grads, ts.actor_opt)
+        c_updates, critic_opt = self.critic_tx.update(c_grads, ts.critic_opt)
+        actor_params = optax.apply_updates(ts.actor_params, a_updates)
+        critic_params = optax.apply_updates(ts.critic_params, c_updates)
+        soft = lambda t, p: jax.tree.map(
+            lambda a, b: (1 - cfg.tau) * a + cfg.tau * b, t, p
+        )
+        return (
+            ts.replace(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                target_actor_params=soft(ts.target_actor_params, actor_params),
+                target_critic_params=soft(ts.target_critic_params, critic_params),
+                actor_opt=actor_opt,
+                critic_opt=critic_opt,
+            ),
+            aux,
+        )
+
+    # -- public api ---------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
+    def train_step(self, ts: MADDPGState, buffer: ReplayBuffer, env_state, obs, key):
+        """Collect ``steps_per_iter`` vectorized env steps into the buffer,
+        then run ``updates_per_iter`` gradient updates.  Fully jitted."""
+        cfg = self.cfg
+
+        def env_step(carry, k):
+            ts, buffer, env_state, obs = carry
+            k_act, _ = jax.random.split(k)
+            actions = self.explore_actions(ts, obs, k_act)
+            env_state, out = jax.vmap(self.env.step)(env_state, actions)
+            buffer = buffer.insert(
+                obs, actions, out.reward, out.obs, out.done[:, 0]
+            )
+            decay = cfg.explore_decay * self.num_envs
+            ts = ts.replace(
+                noise=jnp.maximum(cfg.explore_min, ts.noise - decay),
+                epsilon=jnp.maximum(cfg.explore_min, ts.epsilon - decay),
+                env_steps=ts.env_steps + self.num_envs,
+            )
+            return (ts, buffer, env_state, obs := out.obs), out.reward.mean()
+
+        (ts, buffer, env_state, obs), step_rew = jax.lax.scan(
+            env_step,
+            (ts, buffer, env_state, obs),
+            jax.random.split(key, cfg.steps_per_iter),
+        )
+
+        def upd(carry, k):
+            ts = carry
+            batch = buffer.sample(k, cfg.batch_size)
+            ts, aux = self._update_once(ts, batch)
+            return ts, aux
+
+        can_train = buffer.size >= cfg.batch_size
+        keys = jax.random.split(jax.random.fold_in(key, 1), cfg.updates_per_iter)
+
+        def do_train(ts):
+            return jax.lax.scan(upd, ts, keys)
+
+        def skip(ts):
+            zero = {"critic_loss": jnp.zeros(cfg.updates_per_iter),
+                    "actor_loss": jnp.zeros(cfg.updates_per_iter)}
+            return ts, zero
+
+        ts, aux = jax.lax.cond(can_train, do_train, skip, ts)
+        metrics = {k: v.mean() for k, v in aux.items()}
+        metrics["mean_step_reward"] = step_rew.mean()
+        metrics["buffer_size"] = buffer.size
+        return ts, buffer, env_state, obs, metrics
+
+    def eval_actions(self, ts: MADDPGState, obs: Array) -> Array:
+        return self._actor_all(ts.actor_params, obs)

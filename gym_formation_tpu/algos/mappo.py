@@ -1,0 +1,305 @@
+"""MAPPO: multi-agent PPO with a centralized critic — the reference's
+scalable on-policy path (``/root/reference/train/mappo/train_formation.py``,
+tuned run ``train_formation.sh:13``: 128 rollout threads, episode_length 25,
+ppo_epoch 10, lr 7e-4, value normalization, shared policy).
+
+TPU-native design: the reference fans 128 env processes over pipes feeding a
+GPU learner; here rollout collection (a ``lax.scan`` over the vmapped env
+step) and the PPO update live in ONE jitted program, so the whole training
+iteration is a single XLA executable.  The env batch shards over the mesh
+'data' axis; gradients reduce over the mesh automatically via pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..env import FormationEnv
+from ..models.networks import (
+    GaussianActor,
+    ValueCritic,
+    gaussian_entropy,
+    gaussian_logp,
+    gaussian_sample,
+)
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MAPPOConfig:
+    """Defaults follow the reference tuned run (``train_formation.sh:13``) and
+    onpolicy's MPE config (``train/mappo/inbox/config.py``)."""
+
+    lr: float = 7e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ppo_epochs: int = 10
+    num_minibatches: int = 1
+    entropy_coef: float = 0.01
+    value_coef: float = 1.0
+    max_grad_norm: float = 10.0
+    hidden: Tuple[int, ...] = (64, 64)
+    rollout_len: int = 25
+    use_value_norm: bool = True
+    huber_delta: float = 10.0
+    adam_eps: float = 1e-5
+
+
+@struct.dataclass
+class ValueNorm:
+    """Running return normalizer (the reference's ``valuenorm``,
+    ``train_formation.sh:13`` / ``maddpg-v4/utils.py`` PopArt-lite): critic
+    learns in normalized space, GAE happens in raw space."""
+
+    mean: Array
+    mean_sq: Array
+    count: Array
+
+    @classmethod
+    def create(cls):
+        return cls(mean=jnp.zeros(()), mean_sq=jnp.ones(()), count=jnp.ones(()) * 1e-4)
+
+    def update(self, x: Array) -> "ValueNorm":
+        b_mean, b_sq, b_n = jnp.mean(x), jnp.mean(x**2), x.size
+        n = self.count + b_n
+        w = b_n / n
+        return ValueNorm(
+            mean=self.mean * (1 - w) + b_mean * w,
+            mean_sq=self.mean_sq * (1 - w) + b_sq * w,
+            count=n,
+        )
+
+    @property
+    def std(self) -> Array:
+        return jnp.sqrt(jnp.clip(self.mean_sq - self.mean**2, 1e-8))
+
+    def normalize(self, x: Array) -> Array:
+        return (x - self.mean) / self.std
+
+    def denormalize(self, x: Array) -> Array:
+        return x * self.std + self.mean
+
+
+@struct.dataclass
+class MAPPOState:
+    params: dict  # {'actor': ..., 'critic': ...}
+    opt_state: optax.OptState
+    value_norm: ValueNorm
+    update_i: Array
+
+
+def huber(x: Array, delta: float) -> Array:
+    a = jnp.abs(x)
+    return jnp.where(a <= delta, 0.5 * x**2, delta * (a - 0.5 * delta))
+
+
+class MAPPO:
+    """Shared-policy MAPPO over a :class:`FormationEnv` batch.
+
+    One :meth:`train_step` = collect ``rollout_len`` steps on ``num_envs``
+    envs + ``ppo_epochs`` × ``num_minibatches`` PPO updates, fully jitted.
+    """
+
+    def __init__(self, env: FormationEnv, cfg: MAPPOConfig = MAPPOConfig(), num_envs: int = 128):
+        self.env = env
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.n_agents = env.num_agents
+        self.obs_dim = env.scenario.obs_dim
+        self.act_dim = env.act_dim
+        self.actor = GaussianActor(self.act_dim, cfg.hidden)
+        self.critic = ValueCritic(cfg.hidden)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=cfg.adam_eps),
+        )
+
+    # -- setup --------------------------------------------------------------
+    def init(self, key: Array):
+        k_actor, k_critic, k_env = jax.random.split(key, 3)
+        obs0 = jnp.zeros((1, self.obs_dim))
+        sobs0 = jnp.zeros((1, self.obs_dim * self.n_agents))
+        params = {
+            "actor": self.actor.init(k_actor, obs0),
+            "critic": self.critic.init(k_critic, sobs0),
+        }
+        ts = MAPPOState(
+            params=params,
+            opt_state=self.tx.init(params),
+            value_norm=ValueNorm.create(),
+            update_i=jnp.zeros((), jnp.int32),
+        )
+        env_state, obs = jax.vmap(self.env.reset)(
+            jax.random.split(k_env, self.num_envs)
+        )
+        return ts, env_state, obs
+
+    def act(self, params, obs: Array, key=None, deterministic: bool = True) -> Array:
+        mean, log_std = self.actor.apply(params["actor"], obs)
+        if deterministic or key is None:
+            return mean
+        return gaussian_sample(key, mean, log_std)
+
+    # -- rollout ------------------------------------------------------------
+    def _collect(self, ts: MAPPOState, env_state, obs, key):
+        """lax.scan rollout: replaces the SubprocVecEnv collect loop
+        (``onpolicy`` MPERunner.collect, SURVEY §3.5) with an on-device scan."""
+        B, N = self.num_envs, self.n_agents
+
+        def step_fn(carry, _):
+            env_state, obs, key = carry
+            key, k_act = jax.random.split(key)
+            share_obs = obs.reshape(B, N * self.obs_dim)
+            value = self.critic.apply(ts.params["critic"], share_obs)  # [B]
+            mean, log_std = self.actor.apply(ts.params["actor"], obs)  # [B,N,da]
+            action = gaussian_sample(k_act, mean, log_std)
+            logp = gaussian_logp(mean, log_std, action)  # [B,N]
+            env_state, out = jax.vmap(self.env.step)(env_state, action)
+            traj = {
+                "obs": obs,
+                "share_obs": share_obs,
+                "action": action,
+                "logp": logp,
+                "value": value,
+                "reward": out.reward[:, 0],  # shared reward, env-level
+                "done": out.done[:, 0],
+            }
+            return (env_state, out.obs, key), traj
+
+        (env_state, obs, key), traj = jax.lax.scan(
+            step_fn, (env_state, obs, key), None, length=self.cfg.rollout_len
+        )
+        last_value = self.critic.apply(
+            ts.params["critic"], obs.reshape(B, N * self.obs_dim)
+        )
+        return env_state, obs, traj, last_value
+
+    def _gae(self, ts: MAPPOState, traj, last_value):
+        """GAE over the scan axis, in *raw* return space (values are stored in
+        normalized space when value_norm is on)."""
+        vn = ts.value_norm
+        values = traj["value"]
+        if self.cfg.use_value_norm:
+            values = vn.denormalize(values)
+            last_value = vn.denormalize(last_value)
+        gamma, lam = self.cfg.gamma, self.cfg.gae_lambda
+
+        def scan_fn(carry, inp):
+            gae, next_value = carry
+            reward, value, done = inp
+            nonterm = 1.0 - done.astype(value.dtype)
+            delta = reward + gamma * next_value * nonterm - value
+            gae = delta + gamma * lam * nonterm * gae
+            return (gae, value), gae
+
+        (_, _), adv = jax.lax.scan(
+            scan_fn,
+            (jnp.zeros_like(last_value), last_value),
+            (traj["reward"], values, traj["done"]),
+            reverse=True,
+        )
+        returns = adv + values
+        return adv, returns
+
+    # -- update -------------------------------------------------------------
+    def _loss(self, params, batch, vn: ValueNorm):
+        cfg = self.cfg
+        mean, log_std = self.actor.apply(params["actor"], batch["obs"])  # [M,N,da]
+        logp = gaussian_logp(mean, log_std, batch["action"])  # [M,N]
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"][:, None]  # env-level advantage → all agents
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        entropy = jnp.mean(gaussian_entropy(log_std))
+
+        value = self.critic.apply(params["critic"], batch["share_obs"])  # [M]
+        target = batch["target"]
+        v_old = batch["value"]
+        v_clip = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)
+        v_loss = jnp.mean(
+            jnp.maximum(
+                huber(value - target, cfg.huber_delta),
+                huber(v_clip - target, cfg.huber_delta),
+            )
+        )
+        total = pg_loss - cfg.entropy_coef * entropy + cfg.value_coef * v_loss
+        approx_kl = jnp.mean(batch["logp"] - logp)
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": approx_kl,
+        }
+
+    def _update(self, ts: MAPPOState, data, key):
+        cfg = self.cfg
+        M = cfg.rollout_len * self.num_envs
+        mb = M // cfg.num_minibatches
+
+        def epoch_fn(carry, k_epoch):
+            ts = carry
+            perm = jax.random.permutation(k_epoch, M)
+
+            def mb_fn(ts, idx):
+                batch = jax.tree.map(lambda x: x[idx], data)
+                grads, metrics = jax.grad(self._loss, has_aux=True)(
+                    ts.params, batch, ts.value_norm
+                )
+                updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+                params = optax.apply_updates(ts.params, updates)
+                return ts.replace(params=params, opt_state=opt_state), metrics
+
+            ts, metrics = jax.lax.scan(
+                mb_fn, ts, perm.reshape(cfg.num_minibatches, mb)
+            )
+            return ts, metrics
+
+        ts, metrics = jax.lax.scan(
+            epoch_fn, ts, jax.random.split(key, cfg.ppo_epochs)
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        return ts, metrics
+
+    # -- public api ---------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_step(self, ts: MAPPOState, env_state, obs, key):
+        """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
+        cfg = self.cfg
+        k_roll, k_upd = jax.random.split(key)
+        env_state, obs, traj, last_value = self._collect(ts, env_state, obs, k_roll)
+        adv, returns = self._gae(ts, traj, last_value)
+
+        vn = ts.value_norm
+        if cfg.use_value_norm:
+            vn = vn.update(returns)
+            target = vn.normalize(returns)
+        else:
+            target = returns
+        ts = ts.replace(value_norm=vn)
+
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-5)
+        flat = lambda x: x.reshape((cfg.rollout_len * self.num_envs,) + x.shape[2:])
+        data = {
+            "obs": flat(traj["obs"]),
+            "share_obs": flat(traj["share_obs"]),
+            "action": flat(traj["action"]),
+            "logp": flat(traj["logp"]),
+            "value": flat(traj["value"]),
+            "adv": flat(adv_n),
+            "target": flat(target),
+        }
+        ts, metrics = self._update(ts, data, k_upd)
+        metrics["mean_step_reward"] = jnp.mean(traj["reward"])
+        ts = ts.replace(update_i=ts.update_i + 1)
+        return ts, env_state, obs, metrics

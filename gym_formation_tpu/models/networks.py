@@ -1,0 +1,119 @@
+"""Neural networks for the trainer zoo (flax.linen).
+
+Scale mirrors the reference baselines: 64-hidden MLPs with orthogonal init
+(``/root/reference/train/maddpg-v1/maddpg/actor_critic.py:7-43`` — 3×64 ReLU
+actor/critic; ``train/maddpg-v2/utils/networks.py:4-46`` — 2-hidden MLP with
+tanh-constrained output; mappo's shared 64-hidden nets per
+``train/mappo/train_formation.sh:13`` defaults).  Everything is batch-first
+and jit/vmap/pjit friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jnp.ndarray
+
+
+def orthogonal_init(scale: float = jnp.sqrt(2)):
+    return nn.initializers.orthogonal(scale)
+
+
+class MLP(nn.Module):
+    """ReLU MLP trunk with orthogonal init (reference mappo/maddpg-v4 style:
+    orthogonal + optional layer norm, ``maddpg-v4/parameters.yaml``)."""
+
+    features: Sequence[int]
+    activation: Callable = nn.relu
+    use_layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for f in self.features:
+            x = nn.Dense(f, kernel_init=orthogonal_init())(x)
+            x = self.activation(x)
+            if self.use_layer_norm:
+                x = nn.LayerNorm()(x)
+        return x
+
+
+class GaussianActor(nn.Module):
+    """Continuous stochastic policy for PPO/MAPPO: diagonal Gaussian with a
+    state-independent learned log-std."""
+
+    act_dim: int
+    hidden: Sequence[int] = (64, 64)
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Tuple[Array, Array]:
+        h = MLP(self.hidden)(obs)
+        mean = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(self.log_std_init), (self.act_dim,)
+        )
+        return mean, jnp.broadcast_to(log_std, mean.shape)
+
+
+class ValueCritic(nn.Module):
+    """Centralized value head: share_obs (all agents' obs concatenated,
+    ``environment.py:95-96``) → scalar value."""
+
+    hidden: Sequence[int] = (64, 64)
+
+    @nn.compact
+    def __call__(self, share_obs: Array) -> Array:
+        h = MLP(self.hidden)(share_obs)
+        return nn.Dense(1, kernel_init=orthogonal_init(1.0))(h).squeeze(-1)
+
+
+class DeterministicActor(nn.Module):
+    """DDPG/MADDPG actor: tanh-squashed deterministic policy ×max_action
+    (reference ``maddpg-v1/maddpg/actor_critic.py:7-24``)."""
+
+    act_dim: int
+    max_action: float = 1.0
+    hidden: Sequence[int] = (64, 64, 64)
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Array:
+        h = MLP(self.hidden)(obs)
+        return self.max_action * jnp.tanh(
+            nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
+        )
+
+
+class CentralizedQCritic(nn.Module):
+    """MADDPG centralized critic: Q(all obs, all actions) → scalar
+    (reference ``maddpg-v1/maddpg/actor_critic.py:26-43``; actions scaled by
+    max_action before concat, ``:37-39``)."""
+
+    max_action: float = 1.0
+    hidden: Sequence[int] = (64, 64, 64)
+
+    @nn.compact
+    def __call__(self, obs_all: Array, act_all: Array) -> Array:
+        x = jnp.concatenate([obs_all, act_all / self.max_action], axis=-1)
+        h = MLP(self.hidden)(x)
+        return nn.Dense(1, kernel_init=orthogonal_init(1.0))(h).squeeze(-1)
+
+
+def gaussian_logp(mean: Array, log_std: Array, action: Array) -> Array:
+    """Diagonal-Gaussian log density, summed over action dims."""
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * ((action - mean) ** 2 / var) - log_std - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+
+
+def gaussian_entropy(log_std: Array) -> Array:
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def gaussian_sample(key, mean: Array, log_std: Array) -> Array:
+    return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape, mean.dtype)

@@ -1,0 +1,98 @@
+"""Learner tests: MAPPO / MADDPG machinery and short learning-progress runs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.algos import (
+    MADDPG,
+    MADDPGConfig,
+    MAPPO,
+    MAPPOConfig,
+    ReplayBuffer,
+    ValueNorm,
+)
+
+
+def test_value_norm_roundtrip():
+    vn = ValueNorm.create()
+    x = jnp.asarray(np.random.RandomState(0).randn(1000) * 5 + 3)
+    vn = vn.update(x)
+    z = vn.normalize(x)
+    assert abs(float(z.mean())) < 0.2
+    np.testing.assert_allclose(np.asarray(vn.denormalize(z)), np.asarray(x), atol=1e-4)
+
+
+def test_replay_buffer_ring_and_sample(key):
+    buf = ReplayBuffer.create(10, 3, 4, 2)
+    obs = jnp.arange(6 * 3 * 4, dtype=jnp.float32).reshape(6, 3, 4)
+    act = jnp.zeros((6, 3, 2))
+    rew = jnp.ones((6, 3))
+    done = jnp.zeros((6,), bool)
+    buf = buf.insert(obs, act, rew, obs, done)
+    assert int(buf.size) == 6 and int(buf.ptr) == 6
+    buf = buf.insert(obs, act, rew, obs, done)  # wraps: 12 > 10
+    assert int(buf.size) == 10 and int(buf.ptr) == 2
+    batch = buf.sample(key, 4)
+    assert batch["obs"].shape == (4, 3, 4)
+
+
+def test_mappo_train_step_runs_and_updates(key):
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=8, ppo_epochs=2, num_minibatches=2), num_envs=8)
+    ts, es, obs = algo.init(key)
+    p0 = jax.tree.leaves(ts.params)[0].copy()
+    ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["pg_loss"]))
+    assert np.isfinite(float(m["v_loss"]))
+    assert int(ts.update_i) == 1
+    assert not np.allclose(np.asarray(jax.tree.leaves(ts.params)[0]), np.asarray(p0))
+    # ppo with identical policy: first-epoch KL should be ~0 at start
+    assert abs(float(m["approx_kl"])) < 1.0
+
+
+def test_mappo_learns_on_easy_objective():
+    """A few iterations should improve the critic's explained variance /
+    reduce value loss on the stationary random-policy distribution."""
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=16, ppo_epochs=4, lr=1e-3), num_envs=16)
+    ts, es, obs = algo.init(jax.random.PRNGKey(0))
+    losses = []
+    for i in range(8):
+        ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(i + 1))
+        losses.append(float(m["v_loss"]))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+
+
+def test_maddpg_train_step_runs(key):
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MADDPG(
+        env,
+        MADDPGConfig(buffer_size=4096, steps_per_iter=4, updates_per_iter=2, batch_size=64),
+        num_envs=8,
+    )
+    ts, buf, es, obs = algo.init(key)
+    # 4 steps × 8 envs = 32 transitions < batch 64 → updates skipped
+    ts, buf, es, obs, m = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(1))
+    assert float(m["critic_loss"]) == 0.0
+    assert int(m["buffer_size"]) == 32
+    ts, buf, es, obs, m = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
+    assert float(ts.noise) < MADDPGConfig().noise_rate  # decay applied
+    acts = algo.eval_actions(ts, obs)
+    assert acts.shape == (8, 3, 2)
+    assert float(jnp.max(jnp.abs(acts))) <= 1.0
+
+
+def test_maddpg_per_agent_params_differ(key):
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MADDPG(env, num_envs=4)
+    ts, *_ = algo.init(key)
+    kernels = [
+        l for p, l in jax.tree_util.tree_leaves_with_path(ts.actor_params)
+        if "kernel" in jax.tree_util.keystr(p)
+    ]
+    assert kernels and all(k.shape[0] == 3 for k in kernels)
+    assert not np.allclose(np.asarray(kernels[0][0]), np.asarray(kernels[0][1]))

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Training CLI — the consolidated replacement for the reference's trainer zoo
+entry points (``train/maddpg-v1/main.py``, ``train/mappo/train_formation.py``).
+
+Examples:
+    python train.py --algo mappo --scenario formation_hd_env --num-agents 3 \\
+        --num-envs 128 --iters 500
+    python train.py --algo maddpg --num-agents 3 --num-envs 32 --iters 200
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.algos import MADDPG, MADDPGConfig, MAPPO, MAPPOConfig
+from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", choices=["mappo", "maddpg"], default="mappo")
+    p.add_argument("--scenario", default="formation_hd_env")
+    p.add_argument("--num-agents", type=int, default=3)
+    p.add_argument("--num-envs", type=int, default=128)
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--episode-length", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--save-every", type=int, default=100)
+    p.add_argument("--log-every", type=int, default=10)
+    args = p.parse_args()
+
+    kw = {}
+    if args.episode_length is not None and args.scenario == "formation_hd_env":
+        kw["episode_length"] = args.episode_length
+    env = ft.make_env(args.scenario, num_agents=args.num_agents, **kw)
+    run_dir = args.run_dir or os.path.join(
+        "runs", f"{args.algo}_{args.scenario}_N{args.num_agents}_{int(time.time())}"
+    )
+    logger = MetricsLogger(run_dir)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.algo == "mappo":
+        cfg = MAPPOConfig(**({"lr": args.lr} if args.lr else {}))
+        algo = MAPPO(env, cfg, num_envs=args.num_envs)
+        ts, es, obs = algo.init(key)
+        steps_per_iter = cfg.rollout_len * args.num_envs
+        for i in range(args.iters):
+            ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.fold_in(key, i))
+            if i % args.log_every == 0:
+                m = {k: float(v) for k, v in m.items()}
+                logger.log((i + 1) * steps_per_iter, m)
+                print(f"iter {i}: {m}")
+            if args.save_every and (i + 1) % args.save_every == 0:
+                save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1, {"ts": ts})
+    else:
+        cfg = MADDPGConfig(
+            **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {})
+        )
+        algo = MADDPG(env, cfg, num_envs=args.num_envs)
+        ts, buf, es, obs = algo.init(key)
+        steps_per_iter = cfg.steps_per_iter * args.num_envs
+        for i in range(args.iters):
+            ts, buf, es, obs, m = algo.train_step(
+                ts, buf, es, obs, jax.random.fold_in(key, i)
+            )
+            if i % args.log_every == 0:
+                m = {k: float(v) for k, v in m.items()}
+                logger.log((i + 1) * steps_per_iter, m)
+                print(f"iter {i}: {m}")
+            if args.save_every and (i + 1) % args.save_every == 0:
+                save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1, {"ts": ts})
+
+    logger.plot("mean_step_reward")
+    logger.close()
+    print(f"done → {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
