@@ -40,8 +40,18 @@ def collision_forces(pos: Array, cfg: WorldCfg) -> Array:
     vectorizes without changing semantics.
     """
     eps = jnp.asarray(1e-12, pos.dtype) if cfg.nan_guard else jnp.asarray(0.0, pos.dtype)
-    delta = pos[:, None, :] - pos[None, :, :]  # [E,E,P]
-    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [E,E]
+    large = cfg.n_entities >= 48
+    if large:
+        # Gram-matrix distances: |p_i - p_j|² = r_i + r_j - 2 p_i·p_j.  One
+        # [E,E] matmul on the MXU instead of an [E,E,P] delta tensor — the
+        # memory/bandwidth win that makes the 243-agent configs fit (SURVEY
+        # §7 "243-agent O(N²) memory").
+        gram = pos @ pos.T
+        r = jnp.diagonal(gram)
+        dist = jnp.sqrt(jnp.clip(r[:, None] + r[None, :] - 2.0 * gram, 0.0))
+    else:
+        delta = pos[:, None, :] - pos[None, :, :]  # [E,E,P]
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [E,E]
     size = jnp.asarray(cfg.size, pos.dtype)
     dist_min = size[:, None] + size[None, :]
     k = cfg.contact_margin
@@ -64,6 +74,10 @@ def collision_forces(pos: Array, cfg: WorldCfg) -> Array:
     # the raw force applies.
     ratio = jnp.where(movable[None, :], mass[None, :] / mass[:, None], 1.0)
     w = jnp.where(pair_ok & movable[:, None], coef * ratio, 0.0)  # [E,E]
+    if large:
+        # Σ_j w_ij (p_i - p_j) = rowsum(w)·p_i - W @ P: two MXU ops, no
+        # [E,E,P] intermediate.
+        return w.sum(axis=1, keepdims=True) * pos - w @ pos
     return jnp.einsum("ij,ijp->ip", w, delta)
 
 

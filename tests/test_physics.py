@@ -113,3 +113,28 @@ def test_step_is_jit_and_vmap_safe():
     new_pos, new_vel = step(pos, vel, u)
     assert new_pos.shape == (B, 3, 2)
     assert np.isfinite(np.asarray(new_pos)).all()
+
+
+def test_gram_path_matches_bruteforce():
+    """≥48 entities takes the gram-matrix/matmul path; verify against a
+    brute-force per-pair numpy oracle of the reference formulas."""
+    rng = np.random.RandomState(0)
+    n_a, n_l = 30, 30
+    cfg = make_world_cfg(
+        n_a, n_l, agent_size=0.05, landmark_size=0.05,
+        landmark_collide=True, landmark_movable=True,
+    )
+    pos = rng.uniform(-0.3, 0.3, (60, 2))  # dense → plenty of contacts
+    f = np.asarray(collision_forces(jnp.asarray(pos), cfg))
+
+    expected = np.zeros((60, 2))
+    k = cfg.contact_margin
+    for i in range(60):
+        for j in range(60):
+            if i == j:
+                continue
+            delta = pos[i] - pos[j]
+            dist = np.linalg.norm(delta)
+            pen = np.logaddexp(0, -(dist - cfg.size[i] - cfg.size[j]) / k) * k
+            expected[i] += cfg.contact_force * delta / dist * pen  # masses all 1
+    np.testing.assert_allclose(f, expected, rtol=1e-3, atol=1e-4)
