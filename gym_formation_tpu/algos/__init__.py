@@ -1,5 +1,8 @@
 from .mappo import MAPPO, MAPPOConfig, MAPPOState, ValueNorm
 from .maddpg import MADDPG, MADDPGConfig, MADDPGState, ReplayBuffer
+from .matd3 import MATD3, MATD3Config
+from .masac import MASAC, MASACConfig, MASACState
+from .qmix import QMix, QMixConfig, QMixState
 
 __all__ = [
     "MAPPO",
@@ -10,4 +13,12 @@ __all__ = [
     "MADDPGConfig",
     "MADDPGState",
     "ReplayBuffer",
+    "MATD3",
+    "MATD3Config",
+    "MASAC",
+    "MASACConfig",
+    "MASACState",
+    "QMix",
+    "QMixConfig",
+    "QMixState",
 ]

@@ -50,6 +50,10 @@ class MADDPGConfig:
     hidden: Tuple[int, ...] = (64, 64, 64)
     high_action: float = 1.0
     mask_done: bool = False  # v1 semantics: no done mask in the TD target
+    # centralized critic Q(all obs, all acts) = MADDPG; False = per-agent
+    # local critic Q(o_i, u_i) = the DDPG alg_type of the reference v2 zoo
+    # (``maddpg-v2/algorithms/maddpg.py:99-127``)
+    centralized: bool = True
     steps_per_iter: int = 32  # env steps collected per train_step call
     updates_per_iter: int = 32  # gradient updates per train_step call
 
@@ -120,6 +124,7 @@ class MADDPGState:
     noise: Array
     epsilon: Array
     env_steps: Array
+    grad_updates: Array
 
 
 class MADDPG:
@@ -141,9 +146,10 @@ class MADDPG:
     def _init_stacked(self, key):
         n = self.n_agents
         ka, kc = jax.random.split(key)
+        m = n if self.cfg.centralized else 1
         obs0 = jnp.zeros((1, self.obs_dim))
-        oall0 = jnp.zeros((1, self.obs_dim * n))
-        uall0 = jnp.zeros((1, self.act_dim * n))
+        oall0 = jnp.zeros((1, self.obs_dim * m))
+        uall0 = jnp.zeros((1, self.act_dim * m))
         actor_params = jax.vmap(lambda k: self.actor.init(k, obs0))(
             jax.random.split(ka, n)
         )
@@ -172,6 +178,7 @@ class MADDPG:
             noise=jnp.asarray(self.cfg.noise_rate),
             epsilon=jnp.asarray(self.cfg.epsilon),
             env_steps=jnp.zeros((), jnp.int32),
+            grad_updates=jnp.zeros((), jnp.int32),
         )
         buffer = ReplayBuffer.create(
             self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
@@ -210,22 +217,31 @@ class MADDPG:
         o_all = batch["obs"].reshape(M, -1)
         u_all_b = batch["action"]
         on_all = batch["next_obs"].reshape(M, -1)
-        u_next = self._actor_all(ts.target_actor_params, batch["next_obs"])
+        u_next = self._target_actions(ts, batch)
         un_all = u_next.reshape(M, -1)
         nonterm = (
             (1.0 - batch["done"].astype(jnp.float32)) if cfg.mask_done else 1.0
         )
 
+        cen = cfg.centralized
+
         def per_agent(i, aparams_i, cparams_i, tcparams_i):
-            q_next = self.critic.apply(tcparams_i, on_all, un_all)
+            o_in = o_all if cen else batch["obs"][:, i]
+            on_in = on_all if cen else batch["next_obs"][:, i]
+            u_in = u_all_b.reshape(M, -1) if cen else u_all_b[:, i]
+            un_in = un_all if cen else u_next[:, i]
+            q_next = self._q_target(tcparams_i, on_in, un_in, ts)
             target = batch["reward"][:, i] + cfg.gamma * q_next * nonterm
-            q = self.critic.apply(cparams_i, o_all, u_all_b.reshape(M, -1))
-            critic_loss = jnp.mean((jax.lax.stop_gradient(target) - q) ** 2)
-            # actor: substitute own action
+            critic_loss = self._critic_bellman_loss(
+                cparams_i, o_in, u_in, jax.lax.stop_gradient(target)
+            )
+            # actor: substitute own action (others fixed from the batch)
             a_i = self.actor.apply(aparams_i, batch["obs"][:, i])
-            u_sub = u_all_b.at[:, i].set(a_i).reshape(M, -1)
+            u_sub = (
+                u_all_b.at[:, i].set(a_i).reshape(M, -1) if cen else a_i
+            )
             actor_loss = -jnp.mean(
-                self.critic.apply(jax.lax.stop_gradient(cparams_i), o_all, u_sub)
+                self._q_policy(jax.lax.stop_gradient(cparams_i), o_in, u_sub)
             )
             return critic_loss, actor_loss
 
@@ -237,6 +253,20 @@ class MADDPG:
             "critic_loss": critic_losses.mean(),
             "actor_loss": actor_losses.mean(),
         }
+
+    # Hooks specialized by MATD3 (twin critics + target smoothing).
+    def _target_actions(self, ts, batch):
+        return self._actor_all(ts.target_actor_params, batch["next_obs"])
+
+    def _q_target(self, tcparams_i, on_in, un_in, ts):
+        return self.critic.apply(tcparams_i, on_in, un_in)
+
+    def _critic_bellman_loss(self, cparams_i, o_in, u_in, target):
+        q = self.critic.apply(cparams_i, o_in, u_in)
+        return jnp.mean((target - q) ** 2)
+
+    def _q_policy(self, cparams_i, o_in, u_sub):
+        return self.critic.apply(cparams_i, o_in, u_sub)
 
     def _update_once(self, ts: MADDPGState, batch):
         cfg = self.cfg
@@ -270,6 +300,7 @@ class MADDPG:
                 target_critic_params=soft(ts.target_critic_params, critic_params),
                 actor_opt=actor_opt,
                 critic_opt=critic_opt,
+                grad_updates=ts.grad_updates + 1,
             ),
             aux,
         )
@@ -306,6 +337,7 @@ class MADDPG:
         def upd(carry, k):
             ts = carry
             batch = buffer.sample(k, cfg.batch_size)
+            batch["noise_key"] = jax.random.fold_in(k, 7)
             ts, aux = self._update_once(ts, batch)
             return ts, aux
 

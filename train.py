@@ -18,13 +18,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 import gym_formation_tpu as ft
-from gym_formation_tpu.algos import MADDPG, MADDPGConfig, MAPPO, MAPPOConfig
+from gym_formation_tpu.algos import (
+    MADDPG,
+    MADDPGConfig,
+    MAPPO,
+    MAPPOConfig,
+    MASAC,
+    MASACConfig,
+    MATD3,
+    MATD3Config,
+    QMix,
+    QMixConfig,
+)
 from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", choices=["mappo", "maddpg"], default="mappo")
+    p.add_argument(
+        "--algo",
+        choices=["mappo", "maddpg", "ddpg", "matd3", "masac", "qmix", "vdn"],
+        default="mappo",
+    )
     p.add_argument("--scenario", default="formation_hd_env")
     p.add_argument("--num-agents", type=int, default=3)
     p.add_argument("--num-envs", type=int, default=128)
@@ -61,10 +76,26 @@ def main():
             if args.save_every and (i + 1) % args.save_every == 0:
                 save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1, {"ts": ts})
     else:
-        cfg = MADDPGConfig(
-            **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {})
-        )
-        algo = MADDPG(env, cfg, num_envs=args.num_envs)
+        if args.algo in ("maddpg", "ddpg"):
+            cfg = MADDPGConfig(
+                centralized=args.algo == "maddpg",
+                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}),
+            )
+            algo = MADDPG(env, cfg, num_envs=args.num_envs)
+        elif args.algo == "matd3":
+            cfg = MATD3Config(
+                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {})
+            )
+            algo = MATD3(env, cfg, num_envs=args.num_envs)
+        elif args.algo == "masac":
+            cfg = MASACConfig(**({"lr": args.lr} if args.lr else {}))
+            algo = MASAC(env, cfg, num_envs=args.num_envs)
+        else:  # qmix / vdn need the discrete action head
+            env = ft.FormationEnv(env.scenario, discrete_action=True)
+            cfg = QMixConfig(
+                mixer=args.algo, **({"lr": args.lr} if args.lr else {})
+            )
+            algo = QMix(env, cfg, num_envs=args.num_envs)
         ts, buf, es, obs = algo.init(key)
         steps_per_iter = cfg.steps_per_iter * args.num_envs
         for i in range(args.iters):
