@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Evaluation / render driver — parity with the reference's evaluate paths
+(``train/maddpg-v2/evaluate.py:14-81`` model rollout + GIF;
+``train/maddpg-v5/render.py``; ``train/mappo/inbox/render_formation.py``),
+plus the hierarchical trick the reference only documents for the scripted
+policy: a trained n-agent MAPPO actor expanded over n^L agents with
+``--num-layer`` (``README.md:31-51``).
+
+Examples:
+    python eval.py --ckpt runs/<run>/ckpt --episodes 5 --gif eval.gif
+    python eval.py --policy ezpolicy --num-agents 3 --num-layer 2
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+from gym_formation_tpu.render import render_state, save_gif
+from gym_formation_tpu.utils import restore_checkpoint
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenario", default="formation_hd_env")
+    p.add_argument("--num-agents", type=int, default=3, help="policy arity n")
+    p.add_argument("--num-layer", type=int, default=1, help="BFS hierarchy depth")
+    p.add_argument("--policy", choices=["ckpt", "ezpolicy"], default="ezpolicy")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir from train.py")
+    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--episode-length", type=int, default=None)
+    p.add_argument("--gif", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    n = args.num_agents
+    total = n**args.num_layer
+    kw = {}
+    if args.episode_length and args.scenario == "formation_hd_env":
+        kw["episode_length"] = args.episode_length
+    env = ft.make_env(args.scenario, num_agents=total, benchmark=True, **kw)
+    env = ft.FormationEnv(env.scenario, benchmark=True, auto_reset=False)
+
+    if args.policy == "ckpt":
+        assert args.ckpt, "--ckpt required with --policy ckpt"
+        # restore into a skeleton built from a same-arity MAPPO
+        proto_env = ft.make_env(args.scenario, num_agents=n, **kw)
+        algo = MAPPO(proto_env, MAPPOConfig(), num_envs=1)
+        ts0, _, _ = algo.init(jax.random.PRNGKey(0))
+        ts = restore_checkpoint(args.ckpt, {"ts": ts0})["ts"]
+        actor_params = ts["params"]["actor"] if isinstance(ts, dict) else ts.params["actor"]
+
+        def base_policy(obs_batch):
+            mean, _ = algo.actor.apply(actor_params, obs_batch)
+            return mean
+
+    else:
+        base_policy = ft.ezpolicy_batched
+
+    def policy(obs):
+        if args.num_layer > 1 or args.policy == "ckpt":
+            return ft.bfs_actions(base_policy, obs, n)
+        return base_policy(obs)
+
+    step = jax.jit(env.step)
+    frames = []
+    ep_rewards, ep_bench = [], []
+    for ep in range(args.episodes):
+        state, obs = env.reset(jax.random.PRNGKey(args.seed + ep))
+        done, total_r, t = False, 0.0, 0
+        while not done:
+            acts = policy(obs)
+            state, out = step(state, acts)
+            obs = out.obs
+            total_r += float(out.reward[0])
+            done = bool(out.done.all())
+            t += 1
+            if args.gif:
+                frames.append(render_state(env.scenario, state, size=350))
+        ep_rewards.append(total_r)
+        ep_bench.append({k: float(np.asarray(v).mean()) for k, v in out.info.items()})
+        print(f"episode {ep}: return={total_r:.2f} len={t} bench={ep_bench[-1]}")
+
+    print(
+        f"mean return over {args.episodes} episodes: "
+        f"{np.mean(ep_rewards):.3f} ± {np.std(ep_rewards):.3f}"
+    )
+    if args.gif:
+        out = save_gif(frames, args.gif)
+        print(f"gif → {out}" if out else "imageio unavailable")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@ from .maddpg import MADDPG, MADDPGConfig, MADDPGState, ReplayBuffer
 from .matd3 import MATD3, MATD3Config
 from .masac import MASAC, MASACConfig, MASACState
 from .qmix import QMix, QMixConfig, QMixState
+from .rmappo import RMAPPO, RMAPPOConfig, RunnerCarry
 
 __all__ = [
     "MAPPO",
@@ -21,4 +22,7 @@ __all__ = [
     "QMix",
     "QMixConfig",
     "QMixState",
+    "RMAPPO",
+    "RMAPPOConfig",
+    "RunnerCarry",
 ]

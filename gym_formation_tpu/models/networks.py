@@ -117,3 +117,48 @@ def gaussian_entropy(log_std: Array) -> Array:
 
 def gaussian_sample(key, mean: Array, log_std: Array) -> Array:
     return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+class GRUPolicy(nn.Module):
+    """Recurrent actor core: obs embed → GRU → Gaussian head.
+
+    The recurrent (`r*`) variants of the reference zoo — rmappo is the tuned
+    default (``train/mappo/train_formation.sh:13``), and the offpolicy side
+    exposes rmaddpg/rmatd3/rmasac with rnn chunking
+    (``train/maddpg-v5/config.py:89-90``)."""
+
+    act_dim: int
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, carry: Array, obs: Array, reset: Array):
+        """One step: carry [., H], obs [., do], reset [.] bool (zeroes the
+        carry at episode starts).  Returns (new_carry, (mean, log_std))."""
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=orthogonal_init())(obs))
+        carry = jnp.where(reset[..., None], 0.0, carry)
+        carry, h = nn.GRUCell(self.hidden)(carry, x)
+        mean = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(0.0), (self.act_dim,)
+        )
+        return carry, (mean, jnp.broadcast_to(log_std, mean.shape))
+
+    def initial_carry(self, batch_shape) -> Array:
+        return jnp.zeros(tuple(batch_shape) + (self.hidden,))
+
+
+class GRUCritic(nn.Module):
+    """Recurrent centralized value core: share_obs → GRU → V."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, carry: Array, share_obs: Array, reset: Array):
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=orthogonal_init())(share_obs))
+        carry = jnp.where(reset[..., None], 0.0, carry)
+        carry, h = nn.GRUCell(self.hidden)(carry, x)
+        v = nn.Dense(1, kernel_init=orthogonal_init(1.0))(h).squeeze(-1)
+        return carry, v
+
+    def initial_carry(self, batch_shape) -> Array:
+        return jnp.zeros(tuple(batch_shape) + (self.hidden,))

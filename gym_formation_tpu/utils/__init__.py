@@ -1,9 +1,19 @@
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .config import from_dict, load_config, save_config, to_dict
 from .logging import MetricsLogger
+from .profiling import Throughput, assert_finite, named_scope, trace
 
 __all__ = [
     "latest_step",
     "restore_checkpoint",
     "save_checkpoint",
+    "from_dict",
+    "load_config",
+    "save_config",
+    "to_dict",
     "MetricsLogger",
+    "Throughput",
+    "assert_finite",
+    "named_scope",
+    "trace",
 ]

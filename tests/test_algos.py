@@ -182,3 +182,25 @@ def test_qmix_vdn_run_and_learn_shapes(mixer):
     acts = algo.eval_actions(ts, obs)
     assert acts.shape == (8, 3, 5)
     np.testing.assert_allclose(np.asarray(acts.sum(-1)), 1.0)  # one-hot
+
+
+def test_rmappo_runs_and_resets_hidden():
+    from gym_formation_tpu.algos import RMAPPO, RMAPPOConfig
+
+    scen = ft.make_scenario("formation_hd_env", num_agents=3, episode_length=5)
+    env = ft.FormationEnv(scen)
+    algo = RMAPPO(
+        env,
+        RMAPPOConfig(rollout_len=10, data_chunk_length=5, ppo_epochs=2, num_minibatches=1),
+        num_envs=8,
+    )
+    ts, es, obs, carry = algo.init(jax.random.PRNGKey(0))
+    p0 = np.asarray(jax.tree.leaves(ts.params)[0]).copy()
+    for i in range(3):
+        ts, es, obs, carry, m = algo.train_step(ts, es, obs, carry, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["v_loss"]))
+    assert not np.allclose(np.asarray(jax.tree.leaves(ts.params)[0]), p0)
+    assert carry.h_actor.shape == (8, 3, 64)
+    # episodes end every 5 steps inside the 10-step rollout → done flags seen
+    a, carry2 = algo.act(ts.params, obs, carry)
+    assert a.shape == (8, 3, 2)

@@ -29,6 +29,8 @@ from gym_formation_tpu.algos import (
     MATD3Config,
     QMix,
     QMixConfig,
+    RMAPPO,
+    RMAPPOConfig,
 )
 from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
 
@@ -37,7 +39,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
-        choices=["mappo", "maddpg", "ddpg", "matd3", "masac", "qmix", "vdn"],
+        choices=["mappo", "rmappo", "maddpg", "ddpg", "matd3", "masac", "qmix", "vdn"],
         default="mappo",
     )
     p.add_argument("--scenario", default="formation_hd_env")
@@ -62,13 +64,19 @@ def main():
     logger = MetricsLogger(run_dir)
     key = jax.random.PRNGKey(args.seed)
 
-    if args.algo == "mappo":
-        cfg = MAPPOConfig(**({"lr": args.lr} if args.lr else {}))
-        algo = MAPPO(env, cfg, num_envs=args.num_envs)
-        ts, es, obs = algo.init(key)
+    if args.algo in ("mappo", "rmappo"):
+        if args.algo == "mappo":
+            cfg = MAPPOConfig(**({"lr": args.lr} if args.lr else {}))
+            algo = MAPPO(env, cfg, num_envs=args.num_envs)
+            state_tuple = algo.init(key)
+        else:
+            cfg = RMAPPOConfig(**({"lr": args.lr} if args.lr else {}))
+            algo = RMAPPO(env, cfg, num_envs=args.num_envs)
+            state_tuple = algo.init(key)
+        ts, *rest = state_tuple
         steps_per_iter = cfg.rollout_len * args.num_envs
         for i in range(args.iters):
-            ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.fold_in(key, i))
+            ts, *rest, m = algo.train_step(ts, *rest, jax.random.fold_in(key, i))
             if i % args.log_every == 0:
                 m = {k: float(v) for k, v in m.items()}
                 logger.log((i + 1) * steps_per_iter, m)
