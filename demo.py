@@ -37,24 +37,31 @@ def main():
     env = ft.make_env(args.scenario, num_agents=total_agents)
     env = ft.FormationEnv(env.scenario, auto_reset=False)
     key = jax.random.PRNGKey(args.seed)
-    state, obs = env.reset(key)
-    step = jax.jit(env.step)
+    reset = jax.jit(env.reset)
+    state, obs = reset(key)
+
+    @jax.jit
+    def step_bfs(state, obs):
+        return env.step(state, ft.bfs_actions(ft.ezpolicy_batched, obs, args.num_agents))
+
+    @jax.jit
+    def step_random(state, obs, k):
+        return env.step(state, env.sample_actions(k))
 
     frames = []
     rewards = []
     for t in range(args.steps):
         if args.random:
             key, k = jax.random.split(key)
-            acts = env.sample_actions(k)
+            state, out = step_random(state, obs, k)
         else:
-            acts = ft.bfs_actions(ft.ezpolicy_batched, obs, args.num_agents)
-        state, out = step(state, acts)
+            state, out = step_bfs(state, obs)
         obs = out.obs
         rewards.append(float(out.reward[0]))
         if args.gif:
             frames.append(render_state(env.scenario, state, size=350))
         if bool(out.done.all()):
-            state, obs = env.reset(jax.random.fold_in(key, t))
+            state, obs = reset(jax.random.fold_in(key, t))
     print(
         f"{args.scenario}: {total_agents} agents, {args.steps} steps — "
         f"reward first/last: {rewards[0]:.3f} / {rewards[-1]:.3f}"

@@ -69,15 +69,15 @@ def main():
             return ft.bfs_actions(base_policy, obs, n)
         return base_policy(obs)
 
-    step = jax.jit(env.step)
+    step = jax.jit(lambda state, obs: env.step(state, policy(obs)))
+    reset = jax.jit(env.reset)
     frames = []
     ep_rewards, ep_bench = [], []
     for ep in range(args.episodes):
-        state, obs = env.reset(jax.random.PRNGKey(args.seed + ep))
+        state, obs = reset(jax.random.PRNGKey(args.seed + ep))
         done, total_r, t = False, 0.0, 0
         while not done:
-            acts = policy(obs)
-            state, out = step(state, acts)
+            state, out = step(state, obs)
             obs = out.obs
             total_r += float(out.reward[0])
             done = bool(out.done.all())

@@ -139,7 +139,8 @@ class MAPPO:
             value_norm=ValueNorm.create(),
             update_i=jnp.zeros((), jnp.int32),
         )
-        env_state, obs = jax.vmap(self.env.reset)(
+        # jit: eager vmapped reset is pathological on remote backends
+        env_state, obs = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(k_env, self.num_envs)
         )
         return ts, env_state, obs

@@ -132,7 +132,8 @@ class MASAC:
             env_steps=jnp.zeros((), jnp.int32),
         )
         buffer = ReplayBuffer.create(cfg.buffer_size, n, self.obs_dim, self.act_dim)
-        env_state, obs = jax.vmap(self.env.reset)(
+        # jit: eager vmapped reset is pathological on remote backends
+        env_state, obs = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(k_env, self.num_envs)
         )
         return ts, buffer, env_state, obs

@@ -150,7 +150,8 @@ class QMix:
         buffer = ReplayBuffer.create(
             cfg.buffer_size, self.n_agents, self.obs_dim, self.N_ACTIONS
         )
-        env_state, obs = jax.vmap(self.env.reset)(
+        # jit: eager vmapped reset is pathological on remote backends
+        env_state, obs = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(k_env, self.num_envs)
         )
         return ts, buffer, env_state, obs

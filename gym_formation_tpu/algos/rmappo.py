@@ -78,7 +78,8 @@ class RMAPPO(MAPPO):
             value_norm=ValueNorm.create(),
             update_i=jnp.zeros((), jnp.int32),
         )
-        env_state, obs = jax.vmap(self.env.reset)(jax.random.split(k_env, B))
+        # jit: eager vmapped reset is pathological on remote backends
+        env_state, obs = jax.jit(jax.vmap(self.env.reset))(jax.random.split(k_env, B))
         carry = RunnerCarry(
             h_actor=jnp.zeros((B, N, cfg.gru_hidden)),
             h_critic=jnp.zeros((B, cfg.gru_hidden)),

@@ -23,8 +23,73 @@ from .types import WorldCfg, WallCfg
 
 Array = jnp.ndarray
 
+# Pallas pair-force dispatch: 'auto' uses the fused VMEM kernel on TPU for
+# large entity counts when collision_forces is vmapped over an env batch;
+# 'on' forces it everywhere (interpret mode off-TPU, for tests); 'off'
+# keeps the pure-XLA path.
+_PALLAS_MODE = "auto"
+_PALLAS_MIN_ENTITIES = 128
+_pallas_fns = {}
+
+
+def set_pallas_mode(mode: str) -> None:
+    assert mode in ("auto", "on", "off")
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+    _pallas_fns.clear()
+
+
+def _pallas_wanted(cfg: WorldCfg) -> bool:
+    if _PALLAS_MODE == "off" or not cfg.nan_guard:
+        return False
+    if _PALLAS_MODE == "on":
+        return True
+    return cfg.n_entities >= _PALLAS_MIN_ENTITIES and jax.default_backend() == "tpu"
+
+
+def _collision_forces_dispatch(cfg: WorldCfg):
+    """Per-cfg custom-vmap wrapper: the unbatched call lowers to the XLA
+    path; a vmap over the env batch dispatches to the fused Pallas kernel
+    (when eligible) so the [E,E] weight matrix never touches HBM."""
+    key = id(cfg)
+    hit = _pallas_fns.get(key)
+    if hit is not None and hit[0] is cfg:
+        return hit[1]
+
+    @jax.custom_batching.custom_vmap
+    def fn(pos):
+        return _collision_forces_xla(pos, cfg)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, pos_b):
+        del axis_size
+        eligible = (
+            _pallas_wanted(cfg)
+            and pos_b.ndim == 3
+            and pos_b.dtype == jnp.float32
+        )
+        if eligible:
+            from ..ops.pallas import collision_forces_batched
+
+            out = collision_forces_batched(
+                pos_b, cfg, interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            out = jax.vmap(lambda p: _collision_forces_xla(p, cfg))(pos_b)
+        return out, in_batched[0]
+
+    _pallas_fns[key] = (cfg, fn)  # keep cfg alive: cache is keyed by id
+    return fn
+
 
 def collision_forces(pos: Array, cfg: WorldCfg) -> Array:
+    """Pairwise soft-contact forces (see :func:`_collision_forces_xla`).
+    Under ``vmap`` this dispatches to the fused Pallas kernel for large
+    entity counts on TPU."""
+    return _collision_forces_dispatch(cfg)(pos)
+
+
+def _collision_forces_xla(pos: Array, cfg: WorldCfg) -> Array:
     """Pairwise soft-contact forces, summed per entity.  [E, P].
 
     Implements the softmax-penetration contact model of the reference

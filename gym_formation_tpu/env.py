@@ -145,6 +145,10 @@ class FormationEnv:
         """Advance one step.  ``actions``: [n_agents, act_dim]."""
         scen, cfg = self.scenario, self.cfg
         u, comm = self._decode_actions(actions)
+        if scen.scripted_mask is not None:
+            # scripted agents override the policy control (core.py:210-211)
+            mask = jnp.asarray(scen.scripted_mask)[:, None]
+            u = jnp.where(mask, scen.scripted_actions(state).astype(u.dtype), u)
         key, k_noise, k_reset = jax.random.split(state.key, 3)
         pos, vel = world_step(
             state.pos, state.vel, u.astype(state.pos.dtype), cfg,

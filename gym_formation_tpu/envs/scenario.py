@@ -112,6 +112,16 @@ class Scenario:
         effects, applied once after obs/reward are computed (default: none)."""
         return state
 
+    # Scripted agents (``core.py:151-154,210-211``: agents whose
+    # ``action_callback`` drives them instead of the policy).  No shipped
+    # scenario uses them; the hook exists for custom scenarios.
+    scripted_mask = None  # optional np.ndarray [n_agents] bool
+
+    def scripted_actions(self, state: EnvState) -> Array:
+        """Control for scripted agents [n_agents, dim_p]; rows where
+        ``scripted_mask`` is False are ignored."""
+        raise NotImplementedError
+
     def benchmark(self, state: EnvState) -> Dict[str, Array]:
         """The reward/collisions/min_dists/occupied_landmarks quartet
         (``envs/formation_hd_env.py:97-117``).  ``collisions`` counts self

@@ -1,0 +1,84 @@
+"""Pallas pair-force kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.core import make_world_cfg
+from gym_formation_tpu.core import physics
+from gym_formation_tpu.ops.pallas import collision_forces_batched
+
+
+def _f64_oracle(pos, cfg):
+    """Direct-delta double-precision reference of core.py:288-322."""
+    pos = np.asarray(pos, np.float64)
+    delta = pos[:, None, :] - pos[None, :, :]
+    dist = np.sqrt((delta**2).sum(-1))
+    dmin = cfg.size[:, None] + cfg.size[None, :]
+    k = cfg.contact_margin
+    pen = np.logaddexp(0.0, -(dist - dmin) / k) * k
+    coef = cfg.contact_force * pen / np.maximum(dist, 1e-12)
+    ok = (
+        cfg.collide[:, None]
+        & cfg.collide[None, :]
+        & (cfg.movable[:, None] | cfg.movable[None, :])
+        & ~np.eye(len(pos), dtype=bool)
+    )
+    ratio = np.where(cfg.movable[None, :], cfg.mass[None, :] / cfg.mass[:, None], 1.0)
+    w = np.where(ok & cfg.movable[:, None], coef * ratio, 0.0)
+    return np.einsum("ij,ijp->ip", w, delta)
+
+
+def test_pallas_kernel_matches_f64_oracle():
+    cfg = make_world_cfg(243, 243, agent_size=0.03, landmark_size=0.01)
+    B = 5  # odd: exercises batch padding
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, 486, 2), jnp.float32, -0.5, 0.5
+    )
+    out = np.asarray(collision_forces_batched(pos, cfg, interpret=True))
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b], _f64_oracle(pos[b], cfg), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_pallas_more_accurate_than_gram_path():
+    """The fused kernel uses direct coordinate differences and avoids the
+    gram-matrix cancellation of the f32 XLA path — it should be strictly
+    closer to the f64 oracle."""
+    cfg = make_world_cfg(128, 128, agent_size=0.05, landmark_size=0.05,
+                         landmark_collide=True, landmark_movable=True)
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, 256, 2), jnp.float32, -0.3, 0.3
+    )
+    pallas_out = np.asarray(collision_forces_batched(pos, cfg, interpret=True))
+    xla_out = np.asarray(
+        jax.vmap(lambda p: physics._collision_forces_xla(p, cfg))(pos)
+    )
+    err_p = err_x = 0.0
+    for b in range(4):
+        oracle = _f64_oracle(pos[b], cfg)
+        err_p = max(err_p, np.abs(pallas_out[b] - oracle).max())
+        err_x = max(err_x, np.abs(xla_out[b] - oracle).max())
+    assert err_p <= err_x, (err_p, err_x)
+
+
+def test_pallas_dispatch_through_env_step():
+    """Forcing pallas mode routes the vmapped env step through the kernel and
+    matches the XLA path."""
+    env = ft.make_env("formation_hd_env", num_agents=64)
+    venv = ft.VecFormationEnv(env, num_envs=4)
+    st, _ = venv.reset(jax.random.PRNGKey(0))
+    acts = venv.sample_actions(jax.random.PRNGKey(1))
+    _, out_xla = venv.step(st, acts)
+    physics.set_pallas_mode("on")
+    try:
+        venv2 = ft.VecFormationEnv(env, num_envs=4)
+        st2, _ = venv2.reset(jax.random.PRNGKey(0))
+        _, out_pal = venv2.step(st2, acts)
+    finally:
+        physics.set_pallas_mode("auto")
+    np.testing.assert_allclose(
+        np.asarray(out_xla.reward), np.asarray(out_pal.reward), atol=1e-3
+    )
