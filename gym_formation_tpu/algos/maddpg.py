@@ -164,22 +164,27 @@ class MADDPG:
 
     def init(self, key: Array):
         k_net, k_env = jax.random.split(key)
-        actor_params, critic_params = self._init_stacked(k_net)
-        copy = lambda t: jax.tree.map(lambda x: x.copy(), t)
-        ts = MADDPGState(
-            actor_params=actor_params,
-            critic_params=critic_params,
-            # distinct buffers: train_step donates the whole state, and donated
-            # args must not alias
-            target_actor_params=copy(actor_params),
-            target_critic_params=copy(critic_params),
-            actor_opt=self.actor_tx.init(actor_params),
-            critic_opt=self.critic_tx.init(critic_params),
-            noise=jnp.asarray(self.cfg.noise_rate),
-            epsilon=jnp.asarray(self.cfg.epsilon),
-            env_steps=jnp.zeros((), jnp.int32),
-            grad_updates=jnp.zeros((), jnp.int32),
-        )
+
+        @jax.jit
+        def _init(k):
+            actor_params, critic_params = self._init_stacked(k)
+            copy = lambda t: jax.tree.map(lambda x: x + 0, t)
+            return MADDPGState(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                # distinct buffers: train_step donates the whole state, and
+                # donated args must not alias
+                target_actor_params=copy(actor_params),
+                target_critic_params=copy(critic_params),
+                actor_opt=self.actor_tx.init(actor_params),
+                critic_opt=self.critic_tx.init(critic_params),
+                noise=jnp.asarray(self.cfg.noise_rate, jnp.float32),
+                epsilon=jnp.asarray(self.cfg.epsilon, jnp.float32),
+                env_steps=jnp.zeros((), jnp.int32),
+                grad_updates=jnp.zeros((), jnp.int32),
+            )
+
+        ts = _init(k_net)
         buffer = ReplayBuffer.create(
             self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
         )

@@ -127,18 +127,25 @@ class MAPPO:
     # -- setup --------------------------------------------------------------
     def init(self, key: Array):
         k_actor, k_critic, k_env = jax.random.split(key, 3)
-        obs0 = jnp.zeros((1, self.obs_dim))
-        sobs0 = jnp.zeros((1, self.obs_dim * self.n_agents))
-        params = {
-            "actor": self.actor.init(k_actor, obs0),
-            "critic": self.critic.init(k_critic, sobs0),
-        }
-        ts = MAPPOState(
-            params=params,
-            opt_state=self.tx.init(params),
-            value_norm=ValueNorm.create(),
-            update_i=jnp.zeros((), jnp.int32),
-        )
+
+        # One jitted program for the whole init: eager flax/optax init is
+        # hundreds of per-op round trips on remote backends.
+        @jax.jit
+        def _init(ka, kc):
+            obs0 = jnp.zeros((1, self.obs_dim))
+            sobs0 = jnp.zeros((1, self.obs_dim * self.n_agents))
+            params = {
+                "actor": self.actor.init(ka, obs0),
+                "critic": self.critic.init(kc, sobs0),
+            }
+            return MAPPOState(
+                params=params,
+                opt_state=self.tx.init(params),
+                value_norm=ValueNorm.create(),
+                update_i=jnp.zeros((), jnp.int32),
+            )
+
+        ts = _init(k_actor, k_critic)
         # jit: eager vmapped reset is pathological on remote backends
         env_state, obs = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(k_env, self.num_envs)

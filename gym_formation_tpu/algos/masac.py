@@ -111,26 +111,31 @@ class MASAC:
         cfg = self.cfg
         n = self.n_agents
         ka, kc, k_env = jax.random.split(key, 3)
-        obs0 = jnp.zeros((1, self.obs_dim))
-        oall0 = jnp.zeros((1, self.obs_dim * n))
-        uall0 = jnp.zeros((1, self.act_dim * n))
-        actor_params = jax.vmap(lambda k: self.actor.init(k, obs0))(
-            jax.random.split(ka, n)
-        )
-        critic_params = jax.vmap(lambda k: self.critic.init(k, oall0, uall0))(
-            jax.random.split(kc, n)
-        )
-        log_alpha = jnp.full((n,), jnp.log(cfg.init_alpha))
-        ts = MASACState(
-            actor_params=actor_params,
-            critic_params=critic_params,
-            target_critic_params=jax.tree.map(lambda x: x.copy(), critic_params),
-            log_alpha=log_alpha,
-            actor_opt=self.actor_tx.init(actor_params),
-            critic_opt=self.critic_tx.init(critic_params),
-            alpha_opt=self.alpha_tx.init(log_alpha),
-            env_steps=jnp.zeros((), jnp.int32),
-        )
+
+        @jax.jit
+        def _init(ka, kc):
+            obs0 = jnp.zeros((1, self.obs_dim))
+            oall0 = jnp.zeros((1, self.obs_dim * n))
+            uall0 = jnp.zeros((1, self.act_dim * n))
+            actor_params = jax.vmap(lambda k: self.actor.init(k, obs0))(
+                jax.random.split(ka, n)
+            )
+            critic_params = jax.vmap(lambda k: self.critic.init(k, oall0, uall0))(
+                jax.random.split(kc, n)
+            )
+            log_alpha = jnp.full((n,), jnp.log(cfg.init_alpha))
+            return MASACState(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                target_critic_params=jax.tree.map(lambda x: x + 0, critic_params),
+                log_alpha=log_alpha,
+                actor_opt=self.actor_tx.init(actor_params),
+                critic_opt=self.critic_tx.init(critic_params),
+                alpha_opt=self.alpha_tx.init(log_alpha),
+                env_steps=jnp.zeros((), jnp.int32),
+            )
+
+        ts = _init(ka, kc)
         buffer = ReplayBuffer.create(cfg.buffer_size, n, self.obs_dim, self.act_dim)
         # jit: eager vmapped reset is pathological on remote backends
         env_state, obs = jax.jit(jax.vmap(self.env.reset))(

@@ -128,24 +128,31 @@ class QMix:
     def init(self, key: Array):
         cfg = self.cfg
         kq, km, k_env = jax.random.split(key, 3)
-        x0 = jnp.zeros((1, self.obs_dim + self.n_agents))
-        q_params = self.qnet.init(kq, x0)
-        if cfg.mixer == "qmix":
-            mixer_params = self.mixer.init(
-                km, jnp.zeros((1, self.n_agents)), jnp.zeros((1, self.obs_dim * self.n_agents))
+
+        @jax.jit
+        def _init(kq, km):
+            x0 = jnp.zeros((1, self.obs_dim + self.n_agents))
+            q_params = self.qnet.init(kq, x0)
+            if cfg.mixer == "qmix":
+                mixer_params = self.mixer.init(
+                    km,
+                    jnp.zeros((1, self.n_agents)),
+                    jnp.zeros((1, self.obs_dim * self.n_agents)),
+                )
+            else:
+                mixer_params = {}
+            params = {"q": q_params, "mixer": mixer_params}
+            return QMixState(
+                q_params=q_params,
+                mixer_params=mixer_params,
+                target_q_params=jax.tree.map(lambda x: x + 0, q_params),
+                target_mixer_params=jax.tree.map(lambda x: x + 0, mixer_params),
+                opt_state=self.tx.init(params),
+                env_steps=jnp.zeros((), jnp.int32),
+                grad_updates=jnp.zeros((), jnp.int32),
             )
-        else:
-            mixer_params = {}
-        params = {"q": q_params, "mixer": mixer_params}
-        ts = QMixState(
-            q_params=q_params,
-            mixer_params=mixer_params,
-            target_q_params=jax.tree.map(lambda x: x.copy(), q_params),
-            target_mixer_params=jax.tree.map(lambda x: x.copy(), mixer_params),
-            opt_state=self.tx.init(params),
-            env_steps=jnp.zeros((), jnp.int32),
-            grad_updates=jnp.zeros((), jnp.int32),
-        )
+
+        ts = _init(kq, km)
         # action stored as one-hot (what the env consumes)
         buffer = ReplayBuffer.create(
             cfg.buffer_size, self.n_agents, self.obs_dim, self.N_ACTIONS

@@ -64,20 +64,25 @@ class RMAPPO(MAPPO):
         cfg = self.cfg
         k_actor, k_critic, k_env = jax.random.split(key, 3)
         B, N = self.num_envs, self.n_agents
-        obs0 = jnp.zeros((1, self.obs_dim))
-        sobs0 = jnp.zeros((1, self.obs_dim * N))
-        h0a = jnp.zeros((1, cfg.gru_hidden))
-        r0 = jnp.zeros((1,), bool)
-        params = {
-            "actor": self.actor.init(k_actor, h0a, obs0, r0),
-            "critic": self.critic.init(k_critic, h0a, sobs0, r0),
-        }
-        ts = MAPPOState(
-            params=params,
-            opt_state=self.tx.init(params),
-            value_norm=ValueNorm.create(),
-            update_i=jnp.zeros((), jnp.int32),
-        )
+
+        @jax.jit
+        def _init(ka, kc):
+            obs0 = jnp.zeros((1, self.obs_dim))
+            sobs0 = jnp.zeros((1, self.obs_dim * N))
+            h0a = jnp.zeros((1, cfg.gru_hidden))
+            r0 = jnp.zeros((1,), bool)
+            params = {
+                "actor": self.actor.init(ka, h0a, obs0, r0),
+                "critic": self.critic.init(kc, h0a, sobs0, r0),
+            }
+            return MAPPOState(
+                params=params,
+                opt_state=self.tx.init(params),
+                value_norm=ValueNorm.create(),
+                update_i=jnp.zeros((), jnp.int32),
+            )
+
+        ts = _init(k_actor, k_critic)
         # jit: eager vmapped reset is pathological on remote backends
         env_state, obs = jax.jit(jax.vmap(self.env.reset))(jax.random.split(k_env, B))
         carry = RunnerCarry(
