@@ -4,6 +4,8 @@ from .matd3 import MATD3, MATD3Config
 from .masac import MASAC, MASACConfig, MASACState
 from .qmix import QMix, QMixConfig, QMixState
 from .rmappo import RMAPPO, RMAPPOConfig, RunnerCarry
+from .rmaddpg import RMADDPG, RMADDPGConfig, EpisodeBuffer
+from .rqmix import RQMix, RQMixConfig
 
 __all__ = [
     "MAPPO",
@@ -25,4 +27,9 @@ __all__ = [
     "RMAPPO",
     "RMAPPOConfig",
     "RunnerCarry",
+    "RMADDPG",
+    "RMADDPGConfig",
+    "EpisodeBuffer",
+    "RQMix",
+    "RQMixConfig",
 ]

@@ -53,6 +53,10 @@ class MAPPOConfig:
     use_value_norm: bool = True
     huber_delta: float = 10.0
     adam_eps: float = 1e-5
+    # True = one policy/critic for all agents (the reference's shared runner);
+    # False = per-agent stacked params (the separated runner,
+    # ``train/mappo/train_formation.py:146-151``)
+    share_policy: bool = True
 
 
 @struct.dataclass
@@ -134,10 +138,20 @@ class MAPPO:
         def _init(ka, kc):
             obs0 = jnp.zeros((1, self.obs_dim))
             sobs0 = jnp.zeros((1, self.obs_dim * self.n_agents))
-            params = {
-                "actor": self.actor.init(ka, obs0),
-                "critic": self.critic.init(kc, sobs0),
-            }
+            if self.cfg.share_policy:
+                params = {
+                    "actor": self.actor.init(ka, obs0),
+                    "critic": self.critic.init(kc, sobs0),
+                }
+            else:
+                params = {
+                    "actor": jax.vmap(lambda k: self.actor.init(k, obs0))(
+                        jax.random.split(ka, self.n_agents)
+                    ),
+                    "critic": jax.vmap(lambda k: self.critic.init(k, sobs0))(
+                        jax.random.split(kc, self.n_agents)
+                    ),
+                }
             return MAPPOState(
                 params=params,
                 opt_state=self.tx.init(params),
@@ -152,8 +166,24 @@ class MAPPO:
         )
         return ts, env_state, obs
 
+    def _apply_actor(self, params, obs: Array):
+        """obs [..., N, do] → (mean, log_std) [..., N, da] for shared or
+        per-agent stacked params."""
+        if self.cfg.share_policy:
+            return self.actor.apply(params, obs)
+        return jax.vmap(self.actor.apply, in_axes=(0, -2), out_axes=(-2, -2))(
+            params, obs
+        )
+
+    def _apply_critic(self, params, share_obs: Array):
+        """share_obs [B, N·do] → value [B] (shared) or [B, N] (separated)."""
+        if self.cfg.share_policy:
+            return self.critic.apply(params, share_obs)
+        v = jax.vmap(lambda p: self.critic.apply(p, share_obs))(params)  # [N, B]
+        return jnp.moveaxis(v, 0, -1)
+
     def act(self, params, obs: Array, key=None, deterministic: bool = True) -> Array:
-        mean, log_std = self.actor.apply(params["actor"], obs)
+        mean, log_std = self._apply_actor(params["actor"], obs)
         if deterministic or key is None:
             return mean
         return gaussian_sample(key, mean, log_std)
@@ -168,8 +198,8 @@ class MAPPO:
             env_state, obs, key = carry
             key, k_act = jax.random.split(key)
             share_obs = obs.reshape(B, N * self.obs_dim)
-            value = self.critic.apply(ts.params["critic"], share_obs)  # [B]
-            mean, log_std = self.actor.apply(ts.params["actor"], obs)  # [B,N,da]
+            value = self._apply_critic(ts.params["critic"], share_obs)
+            mean, log_std = self._apply_actor(ts.params["actor"], obs)  # [B,N,da]
             action = gaussian_sample(k_act, mean, log_std)
             logp = gaussian_logp(mean, log_std, action)  # [B,N]
             env_state, out = jax.vmap(self.env.step)(env_state, action)
@@ -187,7 +217,7 @@ class MAPPO:
         (env_state, obs, key), traj = jax.lax.scan(
             step_fn, (env_state, obs, key), None, length=self.cfg.rollout_len
         )
-        last_value = self.critic.apply(
+        last_value = self._apply_critic(
             ts.params["critic"], obs.reshape(B, N * self.obs_dim)
         )
         return env_state, obs, traj, last_value
@@ -201,6 +231,10 @@ class MAPPO:
             values = vn.denormalize(values)
             last_value = vn.denormalize(last_value)
         gamma, lam = self.cfg.gamma, self.cfg.gae_lambda
+        reward, done = traj["reward"], traj["done"]
+        if values.ndim == 3:  # separated critics: per-agent value axis
+            reward = reward[..., None]
+            done = done[..., None]
 
         def scan_fn(carry, inp):
             gae, next_value = carry
@@ -213,7 +247,7 @@ class MAPPO:
         (_, _), adv = jax.lax.scan(
             scan_fn,
             (jnp.zeros_like(last_value), last_value),
-            (traj["reward"], values, traj["done"]),
+            (reward, values, done),
             reverse=True,
         )
         returns = adv + values
@@ -222,16 +256,20 @@ class MAPPO:
     # -- update -------------------------------------------------------------
     def _loss(self, params, batch, vn: ValueNorm):
         cfg = self.cfg
-        mean, log_std = self.actor.apply(params["actor"], batch["obs"])  # [M,N,da]
+        mean, log_std = self._apply_actor(params["actor"], batch["obs"])  # [M,N,da]
         logp = gaussian_logp(mean, log_std, batch["action"])  # [M,N]
-        ratio = jnp.exp(logp - batch["logp"])
-        adv = batch["adv"][:, None]  # env-level advantage → all agents
+        # clamp the log-ratio: a policy far from the behavior policy after
+        # many epochs otherwise overflows exp() into inf/NaN gradients
+        ratio = jnp.exp(jnp.clip(logp - batch["logp"], -20.0, 20.0))
+        adv = batch["adv"]
+        if adv.ndim == 1:
+            adv = adv[:, None]  # env-level advantage → all agents
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
         entropy = jnp.mean(gaussian_entropy(log_std))
 
-        value = self.critic.apply(params["critic"], batch["share_obs"])  # [M]
+        value = self._apply_critic(params["critic"], batch["share_obs"])
         target = batch["target"]
         v_old = batch["value"]
         v_clip = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)

@@ -166,7 +166,9 @@ class RMAPPO(MAPPO):
             {k: batch[k] for k in ("obs", "share_obs", "reset")},
         )
         logp = gaussian_logp(mean, log_std, batch["action"])  # [L,m,N]
-        ratio = jnp.exp(logp - batch["logp"])
+        # clamp the log-ratio: a policy far from the behavior policy after
+        # many epochs otherwise overflows exp() into inf/NaN gradients
+        ratio = jnp.exp(jnp.clip(logp - batch["logp"], -20.0, 20.0))
         adv = batch["adv"][..., None]
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv

@@ -56,6 +56,8 @@ class GaussianActor(nn.Module):
         log_std = self.param(
             "log_std", nn.initializers.constant(self.log_std_init), (self.act_dim,)
         )
+        # guard rail: unbounded log_std drift eventually NaNs the PPO ratio
+        log_std = jnp.clip(log_std, -5.0, 2.0)
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 
@@ -141,6 +143,7 @@ class GRUPolicy(nn.Module):
         log_std = self.param(
             "log_std", nn.initializers.constant(0.0), (self.act_dim,)
         )
+        log_std = jnp.clip(log_std, -5.0, 2.0)
         return carry, (mean, jnp.broadcast_to(log_std, mean.shape))
 
     def initial_carry(self, batch_shape) -> Array:

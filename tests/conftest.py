@@ -16,6 +16,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against the float64 reference; all float32 code paths
+# pass explicit dtypes, so enabling x64 session-wide is safe.
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -204,3 +204,63 @@ def test_rmappo_runs_and_resets_hidden():
     # episodes end every 5 steps inside the 10-step rollout → done flags seen
     a, carry2 = algo.act(ts.params, obs, carry)
     assert a.shape == (8, 3, 2)
+
+
+def test_rmaddpg_and_rmatd3_run():
+    from gym_formation_tpu.algos import RMADDPG, RMADDPGConfig
+
+    scen = ft.make_scenario("formation_hd_env", num_agents=3, episode_length=8)
+    env = ft.FormationEnv(scen)
+    for twin in (False, True):
+        algo = RMADDPG(
+            env,
+            RMADDPGConfig(buffer_episodes=64, batch_episodes=4,
+                          episodes_per_iter=2, updates_per_iter=2, twin=twin),
+            num_envs=4,
+        )
+        ts, buf = algo.init(jax.random.PRNGKey(0))
+        for i in range(3):
+            ts, buf, m = algo.train_step(ts, buf, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
+        # greedy recurrent eval over a stored episode shape
+        acts = algo.eval_actions_episode(ts, jnp.zeros((2, 8, 3, 18)))
+        assert acts.shape == (2, 8, 3, 2)
+        assert float(jnp.max(jnp.abs(acts))) <= 1.0
+
+
+@pytest.mark.parametrize("mixer", ["qmix", "vdn"])
+def test_recurrent_qmix_vdn_run(mixer):
+    from gym_formation_tpu.algos import RQMix, RQMixConfig
+
+    scen = ft.make_scenario("formation_hd_env", num_agents=3, episode_length=8)
+    env = ft.FormationEnv(scen, discrete_action=True)
+    algo = RQMix(
+        env,
+        RQMixConfig(mixer=mixer, buffer_episodes=64, batch_episodes=4,
+                    episodes_per_iter=2, updates_per_iter=2, eps_anneal_steps=200),
+        num_envs=4,
+    )
+    ts, buf = algo.init(jax.random.PRNGKey(0))
+    for i in range(3):
+        ts, buf, m = algo.train_step(ts, buf, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["q_loss"])) and float(m["q_loss"]) > 0
+    assert float(m["epsilon"]) < 1.0
+
+
+def test_mappo_separated_policy():
+    from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MAPPO(
+        env, MAPPOConfig(rollout_len=8, ppo_epochs=2, share_policy=False), num_envs=8
+    )
+    ts, es, obs = algo.init(jax.random.PRNGKey(0))
+    kernels = [
+        l for p, l in jax.tree_util.tree_leaves_with_path(ts.params["actor"])
+        if "kernel" in jax.tree_util.keystr(p)
+    ]
+    assert all(k.shape[0] == 3 for k in kernels)  # stacked per-agent
+    ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["v_loss"]))
+    a = algo.act(ts.params, obs)
+    assert a.shape == (8, 3, 2)

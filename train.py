@@ -31,6 +31,10 @@ from gym_formation_tpu.algos import (
     QMixConfig,
     RMAPPO,
     RMAPPOConfig,
+    RMADDPG,
+    RMADDPGConfig,
+    RQMix,
+    RQMixConfig,
 )
 from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
 
@@ -39,7 +43,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
-        choices=["mappo", "rmappo", "maddpg", "ddpg", "matd3", "masac", "qmix", "vdn"],
+        choices=[
+            "mappo", "rmappo", "maddpg", "ddpg", "matd3", "masac",
+            "qmix", "vdn", "rmaddpg", "rmatd3", "rqmix", "rvdn",
+        ],
         default="mappo",
     )
     p.add_argument("--scenario", default="formation_hd_env")
@@ -98,18 +105,38 @@ def main():
         elif args.algo == "masac":
             cfg = MASACConfig(**({"lr": args.lr} if args.lr else {}))
             algo = MASAC(env, cfg, num_envs=args.num_envs)
-        else:  # qmix / vdn need the discrete action head
+        elif args.algo in ("rmaddpg", "rmatd3"):
+            cfg = RMADDPGConfig(
+                twin=args.algo == "rmatd3",
+                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}),
+            )
+            algo = RMADDPG(env, cfg, num_envs=args.num_envs)
+        elif args.algo in ("rqmix", "rvdn"):
+            env = ft.FormationEnv(env.scenario, discrete_action=True)
+            cfg = RQMixConfig(
+                mixer=args.algo[1:], **({"lr": args.lr} if args.lr else {})
+            )
+            algo = RQMix(env, cfg, num_envs=args.num_envs)
+        else:  # qmix / vdn (MLP variants) need the discrete action head
             env = ft.FormationEnv(env.scenario, discrete_action=True)
             cfg = QMixConfig(
                 mixer=args.algo, **({"lr": args.lr} if args.lr else {})
             )
             algo = QMix(env, cfg, num_envs=args.num_envs)
-        ts, buf, es, obs = algo.init(key)
-        steps_per_iter = cfg.steps_per_iter * args.num_envs
+        episodic = args.algo in ("rmaddpg", "rmatd3", "rqmix", "rvdn")
+        if episodic:
+            ts, buf = algo.init(key)
+            steps_per_iter = cfg.episodes_per_iter * args.num_envs * env.world_length
+        else:
+            ts, buf, es, obs = algo.init(key)
+            steps_per_iter = cfg.steps_per_iter * args.num_envs
         for i in range(args.iters):
-            ts, buf, es, obs, m = algo.train_step(
-                ts, buf, es, obs, jax.random.fold_in(key, i)
-            )
+            if episodic:
+                ts, buf, m = algo.train_step(ts, buf, jax.random.fold_in(key, i))
+            else:
+                ts, buf, es, obs, m = algo.train_step(
+                    ts, buf, es, obs, jax.random.fold_in(key, i)
+                )
             if i % args.log_every == 0:
                 m = {k: float(v) for k, v in m.items()}
                 logger.log((i + 1) * steps_per_iter, m)
