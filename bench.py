@@ -33,15 +33,38 @@ def main():
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=256, help="scan steps per device call")
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
+    p.add_argument("--policy", choices=["random", "bfs"], default="random",
+                   help="bfs: ezpolicy through hierarchical BFS expansion")
     args = p.parse_args()
+
+    from gym_formation_tpu.core.physics import set_pallas_mode
+
+    set_pallas_mode(args.pallas)
 
     env = ft.make_env(args.scenario, num_agents=args.num_agents)
     B, T = args.num_envs, args.chunk
 
-    def policy(obs, key):
-        return jax.random.uniform(
-            key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
-        )
+    if args.policy == "bfs":
+        import numpy as np
+
+        n_per_layer = args.num_agents
+        # find smallest n>=2 whose power equals num_agents (BFS arity)
+        for cand in range(2, args.num_agents + 1):
+            L = round(np.log(args.num_agents) / np.log(cand))
+            if cand**max(L, 1) == args.num_agents:
+                n_per_layer = cand
+                break
+
+        def policy(obs, key):
+            return ft.bfs_actions(ft.ezpolicy_batched, obs, n_per_layer)
+
+    else:
+
+        def policy(obs, key):
+            return jax.random.uniform(
+                key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
+            )
 
     @jax.jit
     def run_chunk(state, obs, key):
@@ -71,7 +94,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, {B} envs)",
+                "metric": f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, {B} envs, {args.policy} policy)",
                 "value": round(steps_per_sec, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),

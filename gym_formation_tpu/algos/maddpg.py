@@ -50,6 +50,12 @@ class MADDPGConfig:
     hidden: Tuple[int, ...] = (64, 64, 64)
     high_action: float = 1.0
     mask_done: bool = False  # v1 semantics: no done mask in the TD target
+    # Prioritized replay (reference v4 PER: alpha .6, beta .4 anneal,
+    # ``maddpg-v4/parameters.yaml`` / ``replaybuffer.py:246-394``)
+    use_per: bool = False
+    per_alpha: float = 0.6
+    per_beta0: float = 0.4
+    per_beta_anneal: int = 100_000
     # centralized critic Q(all obs, all acts) = MADDPG; False = per-agent
     # local critic Q(o_i, u_i) = the DDPG alg_type of the reference v2 zoo
     # (``maddpg-v2/algorithms/maddpg.py:99-127``)
@@ -185,9 +191,16 @@ class MADDPG:
             )
 
         ts = _init(k_net)
-        buffer = ReplayBuffer.create(
-            self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
-        )
+        if self.cfg.use_per:
+            from .per import PrioritizedReplayBuffer
+
+            buffer = PrioritizedReplayBuffer.create(
+                self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
+            )
+        else:
+            buffer = ReplayBuffer.create(
+                self.cfg.buffer_size, self.n_agents, self.obs_dim, self.act_dim
+            )
         # jit: eager vmapped reset is pathological on remote backends
         env_state, obs = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(k_env, self.num_envs)
@@ -212,7 +225,7 @@ class MADDPG:
         return jnp.where(take_uniform, uniform, noisy)
 
     # -- losses -------------------------------------------------------------
-    def _losses(self, actor_params, critic_params, ts, batch):
+    def _losses(self, actor_params, critic_params, ts, batch, weights=None):
         """Joint per-agent losses, all agents at once.
 
         critic_i: MSE to r_i + γ Q'_i(o', a'_targets);
@@ -238,9 +251,11 @@ class MADDPG:
             un_in = un_all if cen else u_next[:, i]
             q_next = self._q_target(tcparams_i, on_in, un_in, ts)
             target = batch["reward"][:, i] + cfg.gamma * q_next * nonterm
-            critic_loss = self._critic_bellman_loss(
+            sq_err, td_abs = self._critic_bellman_err(
                 cparams_i, o_in, u_in, jax.lax.stop_gradient(target)
             )
+            w = jnp.ones_like(sq_err) if weights is None else weights
+            critic_loss = jnp.mean(w * sq_err)
             # actor: substitute own action (others fixed from the batch)
             a_i = self.actor.apply(aparams_i, batch["obs"][:, i])
             u_sub = (
@@ -249,15 +264,17 @@ class MADDPG:
             actor_loss = -jnp.mean(
                 self._q_policy(jax.lax.stop_gradient(cparams_i), o_in, u_sub)
             )
-            return critic_loss, actor_loss
+            return critic_loss, actor_loss, td_abs
 
         idx = jnp.arange(self.n_agents)
-        critic_losses, actor_losses = jax.vmap(
+        critic_losses, actor_losses, td_abs = jax.vmap(
             per_agent, in_axes=(0, 0, 0, 0)
         )(idx, actor_params, critic_params, ts.target_critic_params)
         return critic_losses.sum() + actor_losses.sum(), {
             "critic_loss": critic_losses.mean(),
             "actor_loss": actor_losses.mean(),
+            # per-sample |TD| averaged over agents → PER priority signal
+            "td_abs": jax.lax.stop_gradient(td_abs.mean(axis=0)),
         }
 
     # Hooks specialized by MATD3 (twin critics + target smoothing).
@@ -267,22 +284,23 @@ class MADDPG:
     def _q_target(self, tcparams_i, on_in, un_in, ts):
         return self.critic.apply(tcparams_i, on_in, un_in)
 
-    def _critic_bellman_loss(self, cparams_i, o_in, u_in, target):
+    def _critic_bellman_err(self, cparams_i, o_in, u_in, target):
+        """Per-sample squared Bellman error and |TD| (for PER priorities)."""
         q = self.critic.apply(cparams_i, o_in, u_in)
-        return jnp.mean((target - q) ** 2)
+        return (target - q) ** 2, jnp.abs(target - q)
 
     def _q_policy(self, cparams_i, o_in, u_sub):
         return self.critic.apply(cparams_i, o_in, u_sub)
 
-    def _update_once(self, ts: MADDPGState, batch):
+    def _update_once(self, ts: MADDPGState, batch, weights=None):
         cfg = self.cfg
 
         def actor_loss_fn(ap):
-            loss, aux = self._losses(ap, ts.critic_params, ts, batch)
+            loss, aux = self._losses(ap, ts.critic_params, ts, batch, weights)
             return loss, aux
 
         def critic_loss_fn(cp):
-            loss, aux = self._losses(ts.actor_params, cp, ts, batch)
+            loss, aux = self._losses(ts.actor_params, cp, ts, batch, weights)
             return loss, aux
 
         (_, aux), a_grads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
@@ -341,24 +359,38 @@ class MADDPG:
         )
 
         def upd(carry, k):
-            ts = carry
-            batch = buffer.sample(k, cfg.batch_size)
-            batch["noise_key"] = jax.random.fold_in(k, 7)
-            ts, aux = self._update_once(ts, batch)
-            return ts, aux
+            ts, buffer = carry
+            if cfg.use_per:
+                from .per import beta_schedule
+
+                beta = beta_schedule(ts.env_steps, cfg.per_beta0, cfg.per_beta_anneal)
+                batch, idx, w = buffer.sample_prioritized(
+                    k, cfg.batch_size, cfg.per_alpha, beta
+                )
+                batch["noise_key"] = jax.random.fold_in(k, 7)
+                ts, aux = self._update_once(ts, batch, w)
+                buffer = buffer.update_priorities(idx, aux["td_abs"])
+            else:
+                batch = buffer.sample(k, cfg.batch_size)
+                batch["noise_key"] = jax.random.fold_in(k, 7)
+                ts, aux = self._update_once(ts, batch)
+            aux = {k2: v for k2, v in aux.items() if k2 != "td_abs"}
+            return (ts, buffer), aux
 
         can_train = buffer.size >= cfg.batch_size
         keys = jax.random.split(jax.random.fold_in(key, 1), cfg.updates_per_iter)
 
-        def do_train(ts):
-            return jax.lax.scan(upd, ts, keys)
+        def do_train(args):
+            (ts, buffer), aux = jax.lax.scan(upd, args, keys)
+            return ts, buffer, aux
 
-        def skip(ts):
+        def skip(args):
+            ts, buffer = args
             zero = {"critic_loss": jnp.zeros(cfg.updates_per_iter),
                     "actor_loss": jnp.zeros(cfg.updates_per_iter)}
-            return ts, zero
+            return ts, buffer, zero
 
-        ts, aux = jax.lax.cond(can_train, do_train, skip, ts)
+        ts, buffer, aux = jax.lax.cond(can_train, do_train, skip, (ts, buffer))
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["mean_step_reward"] = step_rew.mean()
         metrics["buffer_size"] = buffer.size

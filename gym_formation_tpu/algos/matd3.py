@@ -66,19 +66,19 @@ class MATD3(MADDPG):
         q1, q2 = self.critic.apply(tcparams_i, on_in, un_in)
         return jnp.minimum(q1, q2)
 
-    def _critic_bellman_loss(self, cparams_i, o_in, u_in, target):
+    def _critic_bellman_err(self, cparams_i, o_in, u_in, target):
         q1, q2 = self.critic.apply(cparams_i, o_in, u_in)
-        return jnp.mean((target - q1) ** 2) + jnp.mean((target - q2) ** 2)
+        return (target - q1) ** 2 + (target - q2) ** 2, jnp.abs(target - q1)
 
     def _q_policy(self, cparams_i, o_in, u_sub):
         q1, _ = self.critic.apply(cparams_i, o_in, u_sub)
         return q1
 
-    def _update_once(self, ts: MADDPGState, batch):
+    def _update_once(self, ts: MADDPGState, batch, weights=None):
         """Delayed policy updates: the critic trains every step, the actor
         (and both target nets) every ``policy_delay`` steps."""
         cfg = self.cfg
-        new_ts, aux = super()._update_once(ts, batch)
+        new_ts, aux = super()._update_once(ts, batch, weights)
         do_actor = ts.grad_updates % cfg.policy_delay == 0
         sel = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(do_actor, x, y), a, b

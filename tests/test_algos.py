@@ -264,3 +264,34 @@ def test_mappo_separated_policy():
     assert np.isfinite(float(m["v_loss"]))
     a = algo.act(ts.params, obs)
     assert a.shape == (8, 3, 2)
+
+
+def test_per_buffer_and_maddpg_integration(key):
+    from gym_formation_tpu.algos.per import PrioritizedReplayBuffer, beta_schedule
+
+    buf = PrioritizedReplayBuffer.create(32, 3, 4, 2)
+    obs = jnp.ones((8, 3, 4))
+    buf = buf.insert(obs, jnp.zeros((8, 3, 2)), jnp.ones((8, 3)), obs, jnp.zeros((8,), bool))
+    batch, idx, w = buf.sample_prioritized(key, 16, alpha=0.6, beta=jnp.asarray(0.4))
+    assert batch["obs"].shape == (16, 3, 4)
+    assert float(jnp.max(w)) == 1.0 and float(jnp.min(w)) > 0
+    # raising one transition's priority should dominate sampling
+    buf = buf.update_priorities(jnp.array([3]), jnp.array([1000.0]))
+    _, idx2, _ = buf.sample_prioritized(jax.random.PRNGKey(5), 64, alpha=1.0, beta=jnp.asarray(1.0))
+    assert int(jnp.sum(idx2 == 3)) > 32  # majority from the hot index
+    assert float(beta_schedule(jnp.asarray(0))) == 0.4
+    assert float(beta_schedule(jnp.asarray(10**9))) == 1.0
+
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MADDPG(
+        env,
+        MADDPGConfig(use_per=True, buffer_size=1024, steps_per_iter=8,
+                     updates_per_iter=2, batch_size=64),
+        num_envs=8,
+    )
+    ts, buf, es, obs = algo.init(jax.random.PRNGKey(0))
+    for i in range(2):
+        ts, buf, es, obs, m = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["critic_loss"]))
+    pr = np.asarray(buf.priority)
+    assert len(np.unique(pr[pr > 0])) > 10  # priorities got TD-updated

@@ -43,10 +43,11 @@ def test_pallas_kernel_matches_f64_oracle():
         )
 
 
-def test_pallas_more_accurate_than_gram_path():
-    """The fused kernel uses direct coordinate differences and avoids the
-    gram-matrix cancellation of the f32 XLA path — it should be strictly
-    closer to the f64 oracle."""
+def test_both_f32_paths_beat_gram_cancellation():
+    """Both shipping f32 paths (XLA direct-delta and the Pallas kernel) stay
+    within ~1e-4 of the f64 oracle; the retired gram-matrix formulation loses
+    ~3 digits to cancellation near contact — kept here as the reason the
+    delta path is the default."""
     cfg = make_world_cfg(128, 128, agent_size=0.05, landmark_size=0.05,
                          landmark_collide=True, landmark_movable=True)
     pos = jax.random.uniform(
@@ -56,12 +57,29 @@ def test_pallas_more_accurate_than_gram_path():
     xla_out = np.asarray(
         jax.vmap(lambda p: physics._collision_forces_xla(p, cfg))(pos)
     )
-    err_p = err_x = 0.0
+
+    def gram_forces(p):  # the retired formulation
+        g = p @ p.T
+        r = jnp.diagonal(g)
+        dist = jnp.sqrt(jnp.clip(r[:, None] + r[None, :] - 2.0 * g, 0.0))
+        size = jnp.asarray(cfg.size, p.dtype)
+        dmin = size[:, None] + size[None, :]
+        k = cfg.contact_margin
+        pen = jnp.logaddexp(0.0, -(dist - dmin) / k) * k
+        coef = cfg.contact_force * pen / jnp.maximum(dist, 1e-12)
+        ok = ~jnp.eye(256, dtype=bool)
+        w = jnp.where(ok, coef, 0.0)
+        return w.sum(1, keepdims=True) * p - w @ p
+
+    gram_out = np.asarray(jax.vmap(gram_forces)(pos.astype(jnp.float32)))
+    err_p = err_x = err_g = 0.0
     for b in range(4):
         oracle = _f64_oracle(pos[b], cfg)
         err_p = max(err_p, np.abs(pallas_out[b] - oracle).max())
         err_x = max(err_x, np.abs(xla_out[b] - oracle).max())
-    assert err_p <= err_x, (err_p, err_x)
+        err_g = max(err_g, np.abs(gram_out[b] - oracle).max())
+    assert err_p < 1e-3 and err_x < 1e-3
+    assert err_g > 10 * max(err_p, err_x), (err_g, err_p, err_x)
 
 
 def test_pallas_dispatch_through_env_step():
