@@ -34,8 +34,12 @@ def main():
     p.add_argument("--chunk", type=int, default=256, help="scan steps per device call")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
-    p.add_argument("--policy", choices=["random", "bfs"], default="random",
-                   help="bfs: ezpolicy through hierarchical BFS expansion")
+    p.add_argument(
+        "--policy", choices=["ezpolicy", "random", "bfs"], default="ezpolicy",
+        help="ezpolicy (default): scripted policy consuming the observations "
+        "- the honest end-to-end pipeline (with a random policy XLA "
+        "dead-code-eliminates obs construction); bfs: hierarchical expansion",
+    )
     args = p.parse_args()
 
     from gym_formation_tpu.core.physics import set_pallas_mode
@@ -45,7 +49,12 @@ def main():
     env = ft.make_env(args.scenario, num_agents=args.num_agents)
     B, T = args.num_envs, args.chunk
 
-    if args.policy == "bfs":
+    if args.policy == "ezpolicy":
+
+        def policy(obs, key):
+            return ft.ezpolicy_batched(obs)
+
+    elif args.policy == "bfs":
         import numpy as np
 
         n_per_layer = args.num_agents
