@@ -6,6 +6,7 @@ from .qmix import QMix, QMixConfig, QMixState
 from .rmappo import RMAPPO, RMAPPOConfig, RunnerCarry
 from .rmaddpg import RMADDPG, RMADDPGConfig, EpisodeBuffer
 from .rqmix import RQMix, RQMixConfig
+from .rmasac import RMASAC, RMASACConfig
 
 __all__ = [
     "MAPPO",
@@ -32,4 +33,6 @@ __all__ = [
     "EpisodeBuffer",
     "RQMix",
     "RQMixConfig",
+    "RMASAC",
+    "RMASACConfig",
 ]

@@ -295,3 +295,22 @@ def test_per_buffer_and_maddpg_integration(key):
     assert np.isfinite(float(m["critic_loss"]))
     pr = np.asarray(buf.priority)
     assert len(np.unique(pr[pr > 0])) > 10  # priorities got TD-updated
+
+
+def test_rmasac_runs_and_tunes_alpha():
+    from gym_formation_tpu.algos import RMASAC, RMASACConfig
+
+    scen = ft.make_scenario("formation_hd_env", num_agents=3, episode_length=8)
+    env = ft.FormationEnv(scen)
+    algo = RMASAC(
+        env,
+        RMASACConfig(buffer_episodes=64, batch_episodes=4,
+                     episodes_per_iter=2, updates_per_iter=2),
+        num_envs=4,
+    )
+    ts, buf = algo.init(jax.random.PRNGKey(0))
+    for i in range(3):
+        ts, buf, m = algo.train_step(ts, buf, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
+    assert float(m["alpha"]) != RMASACConfig().init_alpha
+    assert np.isfinite(float(m["entropy"]))

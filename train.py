@@ -35,6 +35,8 @@ from gym_formation_tpu.algos import (
     RMADDPGConfig,
     RQMix,
     RQMixConfig,
+    RMASAC,
+    RMASACConfig,
 )
 from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
 
@@ -45,7 +47,7 @@ def main():
         "--algo",
         choices=[
             "mappo", "rmappo", "maddpg", "ddpg", "matd3", "masac",
-            "qmix", "vdn", "rmaddpg", "rmatd3", "rqmix", "rvdn",
+            "qmix", "vdn", "rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn",
         ],
         default="mappo",
     )
@@ -111,6 +113,9 @@ def main():
                 **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}),
             )
             algo = RMADDPG(env, cfg, num_envs=args.num_envs)
+        elif args.algo == "rmasac":
+            cfg = RMASACConfig(**({"lr": args.lr} if args.lr else {}))
+            algo = RMASAC(env, cfg, num_envs=args.num_envs)
         elif args.algo in ("rqmix", "rvdn"):
             env = ft.FormationEnv(env.scenario, discrete_action=True)
             cfg = RQMixConfig(
@@ -123,7 +128,7 @@ def main():
                 mixer=args.algo, **({"lr": args.lr} if args.lr else {})
             )
             algo = QMix(env, cfg, num_envs=args.num_envs)
-        episodic = args.algo in ("rmaddpg", "rmatd3", "rqmix", "rvdn")
+        episodic = args.algo in ("rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn")
         if episodic:
             ts, buf = algo.init(key)
             steps_per_iter = cfg.episodes_per_iter * args.num_envs * env.world_length
