@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .multihost import initialize_multihost, per_host_batch, pod_mesh
 
 __all__ = [
     "batch_sharding",
@@ -12,4 +13,7 @@ __all__ = [
     "model_sharding_for_params",
     "replicated",
     "shard_batch",
+    "initialize_multihost",
+    "per_host_batch",
+    "pod_mesh",
 ]

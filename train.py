@@ -38,7 +38,12 @@ from gym_formation_tpu.algos import (
     RMASAC,
     RMASACConfig,
 )
-from gym_formation_tpu.utils import MetricsLogger, save_checkpoint
+from gym_formation_tpu.utils import (
+    MetricsLogger,
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def main():
@@ -61,6 +66,11 @@ def main():
     p.add_argument("--run-dir", default=None)
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument(
+        "--restore", action="store_true",
+        help="resume from the latest checkpoint in --run-dir (the reference "
+        "v4 auto-restore behavior, maddpg-v4/train.py:35-36)",
+    )
     args = p.parse_args()
 
     kw = {}
@@ -83,6 +93,9 @@ def main():
             algo = RMAPPO(env, cfg, num_envs=args.num_envs)
             state_tuple = algo.init(key)
         ts, *rest = state_tuple
+        if args.restore and latest_step(os.path.join(run_dir, "ckpt")):
+            ts = restore_checkpoint(os.path.join(run_dir, "ckpt"), {"ts": ts})["ts"]
+            print(f"restored checkpoint step {latest_step(os.path.join(run_dir, 'ckpt'))}")
         steps_per_iter = cfg.rollout_len * args.num_envs
         for i in range(args.iters):
             ts, *rest, m = algo.train_step(ts, *rest, jax.random.fold_in(key, i))
@@ -135,6 +148,9 @@ def main():
         else:
             ts, buf, es, obs = algo.init(key)
             steps_per_iter = cfg.steps_per_iter * args.num_envs
+        if args.restore and latest_step(os.path.join(run_dir, "ckpt")):
+            ts = restore_checkpoint(os.path.join(run_dir, "ckpt"), {"ts": ts})["ts"]
+            print(f"restored checkpoint step {latest_step(os.path.join(run_dir, 'ckpt'))}")
         for i in range(args.iters):
             if episodic:
                 ts, buf, m = algo.train_step(ts, buf, jax.random.fold_in(key, i))
