@@ -24,7 +24,7 @@ import numpy as np
 import gym_formation_tpu as ft
 from gym_formation_tpu.algos import MAPPO, MAPPOConfig
 from gym_formation_tpu.render import render_state, save_gif
-from gym_formation_tpu.utils import restore_checkpoint
+from gym_formation_tpu.utils import restore_raw
 
 
 def main():
@@ -53,9 +53,11 @@ def main():
         # restore into a skeleton built from a same-arity MAPPO
         proto_env = ft.make_env(args.scenario, num_agents=n, **kw)
         algo = MAPPO(proto_env, MAPPOConfig(), num_envs=1)
-        ts0, _, _ = algo.init(jax.random.PRNGKey(0))
-        ts = restore_checkpoint(args.ckpt, {"ts": ts0})["ts"]
-        actor_params = ts["params"]["actor"] if isinstance(ts, dict) else ts.params["actor"]
+        # raw restore: the checkpoint's env-batch shapes are unknown here and
+        # only the policy params are needed
+        raw = restore_raw(args.ckpt)
+        ts_raw = raw[0] if isinstance(raw, (list, tuple)) else raw["ts"]
+        actor_params = ts_raw["params"]["actor"]
 
         def base_policy(obs_batch):
             mean, _ = algo.actor.apply(actor_params, obs_batch)

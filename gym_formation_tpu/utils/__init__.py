@@ -1,4 +1,4 @@
-from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .checkpoint import latest_step, restore_checkpoint, restore_raw, save_checkpoint
 from .config import from_dict, load_config, save_config, to_dict
 from .logging import MetricsLogger
 from .profiling import Throughput, assert_finite, named_scope, trace
@@ -6,6 +6,7 @@ from .profiling import Throughput, assert_finite, named_scope, trace
 __all__ = [
     "latest_step",
     "restore_checkpoint",
+    "restore_raw",
     "save_checkpoint",
     "from_dict",
     "load_config",

@@ -51,6 +51,23 @@ def restore_checkpoint(path: str, target: Any, step: Optional[int] = None) -> An
     return out
 
 
+def restore_raw(path: str, step: Optional[int] = None) -> Any:
+    """Restore without a template: returns the stored pytree with plain
+    dict/list containers (flax ``apply`` accepts these directly).  Useful
+    when the consumer doesn't know the saved shapes (e.g. eval restoring a
+    policy from a training checkpoint of unknown batch size)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(path)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+    out = mgr.restore(step)
+    mgr.close()
+    return out
+
+
 def latest_step(path: str) -> Optional[int]:
     import orbax.checkpoint as ocp
 

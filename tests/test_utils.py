@@ -64,3 +64,28 @@ def test_assert_finite():
     assert_finite({"a": jnp.ones(3)})
     with pytest.raises(FloatingPointError, match="non-finite"):
         assert_finite({"a": jnp.array([1.0, jnp.nan])})
+
+
+def test_train_cli_resume_continues_counter(tmp_path):
+    """train.py --restore resumes the iteration counter (new RNG stream,
+    checkpoint steps keep increasing) — regression for the review finding
+    that resumed runs replayed i=0 and orbax silently dropped saves."""
+    import subprocess, sys, os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    run = str(tmp_path / "run")
+    base = [sys.executable, "train.py", "--algo", "mappo", "--num-envs", "4",
+            "--log-every", "1", "--save-every", "2", "--run-dir", run]
+    r1 = subprocess.run(base + ["--iters", "2"], capture_output=True, text=True,
+                        env=env, cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(base + ["--iters", "2", "--restore"], capture_output=True,
+                        text=True, env=env,
+                        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "restored checkpoint at iteration 2" in r2.stdout
+    assert "iter 2:" in r2.stdout  # counter continued, not restarted
+    ckpts = sorted(
+        int(d) for d in os.listdir(os.path.join(run, "ckpt")) if d.isdigit()
+    )
+    assert ckpts[-1] == 4  # post-resume save landed (not silently dropped)

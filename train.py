@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Training CLI — the consolidated replacement for the reference's trainer zoo
-entry points (``train/maddpg-v1/main.py``, ``train/mappo/train_formation.py``).
+entry points (``train/maddpg-v1/main.py``, ``train/mappo/train_formation.py``,
+``train/maddpg-v5/train.py``).
 
 Examples:
     python train.py --algo mappo --scenario formation_hd_env --num-agents 3 \\
         --num-envs 128 --iters 500
     python train.py --algo maddpg --num-agents 3 --num-envs 32 --iters 200
+    python train.py --algo rmappo --restore --run-dir runs/my_run
 """
 
 import argparse
@@ -29,14 +31,14 @@ from gym_formation_tpu.algos import (
     MATD3Config,
     QMix,
     QMixConfig,
-    RMAPPO,
-    RMAPPOConfig,
     RMADDPG,
     RMADDPGConfig,
-    RQMix,
-    RQMixConfig,
+    RMAPPO,
+    RMAPPOConfig,
     RMASAC,
     RMASACConfig,
+    RQMix,
+    RQMixConfig,
 )
 from gym_formation_tpu.utils import (
     MetricsLogger,
@@ -44,6 +46,41 @@ from gym_formation_tpu.utils import (
     restore_checkpoint,
     save_checkpoint,
 )
+
+EPISODIC = ("rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn")
+ONPOLICY = ("mappo", "rmappo")
+
+
+def build(args, env):
+    """Return (algo, cfg, state) where state is the full training tuple."""
+    lr = {"lr": args.lr} if args.lr else {}
+    lr2 = {"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}
+    key = jax.random.PRNGKey(args.seed)
+    if args.algo == "mappo":
+        algo = MAPPO(env, MAPPOConfig(**lr), num_envs=args.num_envs)
+    elif args.algo == "rmappo":
+        algo = RMAPPO(env, RMAPPOConfig(**lr), num_envs=args.num_envs)
+    elif args.algo in ("maddpg", "ddpg"):
+        algo = MADDPG(
+            env,
+            MADDPGConfig(centralized=args.algo == "maddpg", **lr2),
+            num_envs=args.num_envs,
+        )
+    elif args.algo == "matd3":
+        algo = MATD3(env, MATD3Config(**lr2), num_envs=args.num_envs)
+    elif args.algo == "masac":
+        algo = MASAC(env, MASACConfig(**lr), num_envs=args.num_envs)
+    elif args.algo in ("rmaddpg", "rmatd3"):
+        algo = RMADDPG(
+            env, RMADDPGConfig(twin=args.algo == "rmatd3", **lr2), num_envs=args.num_envs
+        )
+    elif args.algo == "rmasac":
+        algo = RMASAC(env, RMASACConfig(**lr), num_envs=args.num_envs)
+    elif args.algo in ("rqmix", "rvdn"):
+        algo = RQMix(env, RQMixConfig(mixer=args.algo[1:], **lr), num_envs=args.num_envs)
+    else:  # qmix / vdn (MLP variants)
+        algo = QMix(env, QMixConfig(mixer=args.algo, **lr), num_envs=args.num_envs)
+    return algo, algo.cfg, list(algo.init(key))
 
 
 def main():
@@ -68,8 +105,9 @@ def main():
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument(
         "--restore", action="store_true",
-        help="resume from the latest checkpoint in --run-dir (the reference "
-        "v4 auto-restore behavior, maddpg-v4/train.py:35-36)",
+        help="resume from the latest checkpoint in --run-dir: restores the "
+        "FULL training tuple (train state, buffers, env state) and continues "
+        "the iteration counter (reference v4 auto-restore behavior)",
     )
     args = p.parse_args()
 
@@ -77,93 +115,44 @@ def main():
     if args.episode_length is not None and args.scenario == "formation_hd_env":
         kw["episode_length"] = args.episode_length
     env = ft.make_env(args.scenario, num_agents=args.num_agents, **kw)
+    if args.algo in ("qmix", "vdn", "rqmix", "rvdn"):
+        env = ft.FormationEnv(env.scenario, discrete_action=True)
+
     run_dir = args.run_dir or os.path.join(
         "runs", f"{args.algo}_{args.scenario}_N{args.num_agents}_{int(time.time())}"
     )
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+
+    algo, cfg, state = build(args, env)
+    if args.algo in ONPOLICY:
+        steps_per_iter = cfg.rollout_len * args.num_envs
+    elif args.algo in EPISODIC:
+        steps_per_iter = cfg.episodes_per_iter * args.num_envs * env.world_length
+    else:
+        steps_per_iter = cfg.steps_per_iter * args.num_envs
+
+    start = 0
+    if args.restore:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise SystemExit(
+                f"--restore: no checkpoint found under {ckpt_dir} "
+                "(pass the --run-dir of the run to resume)"
+            )
+        state = list(restore_checkpoint(ckpt_dir, tuple(state), step))
+        start = step
+        print(f"restored checkpoint at iteration {step} from {ckpt_dir}")
+
     logger = MetricsLogger(run_dir)
     key = jax.random.PRNGKey(args.seed)
-
-    if args.algo in ("mappo", "rmappo"):
-        if args.algo == "mappo":
-            cfg = MAPPOConfig(**({"lr": args.lr} if args.lr else {}))
-            algo = MAPPO(env, cfg, num_envs=args.num_envs)
-            state_tuple = algo.init(key)
-        else:
-            cfg = RMAPPOConfig(**({"lr": args.lr} if args.lr else {}))
-            algo = RMAPPO(env, cfg, num_envs=args.num_envs)
-            state_tuple = algo.init(key)
-        ts, *rest = state_tuple
-        if args.restore and latest_step(os.path.join(run_dir, "ckpt")):
-            ts = restore_checkpoint(os.path.join(run_dir, "ckpt"), {"ts": ts})["ts"]
-            print(f"restored checkpoint step {latest_step(os.path.join(run_dir, 'ckpt'))}")
-        steps_per_iter = cfg.rollout_len * args.num_envs
-        for i in range(args.iters):
-            ts, *rest, m = algo.train_step(ts, *rest, jax.random.fold_in(key, i))
-            if i % args.log_every == 0:
-                m = {k: float(v) for k, v in m.items()}
-                logger.log((i + 1) * steps_per_iter, m)
-                print(f"iter {i}: {m}")
-            if args.save_every and (i + 1) % args.save_every == 0:
-                save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1, {"ts": ts})
-    else:
-        if args.algo in ("maddpg", "ddpg"):
-            cfg = MADDPGConfig(
-                centralized=args.algo == "maddpg",
-                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}),
-            )
-            algo = MADDPG(env, cfg, num_envs=args.num_envs)
-        elif args.algo == "matd3":
-            cfg = MATD3Config(
-                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {})
-            )
-            algo = MATD3(env, cfg, num_envs=args.num_envs)
-        elif args.algo == "masac":
-            cfg = MASACConfig(**({"lr": args.lr} if args.lr else {}))
-            algo = MASAC(env, cfg, num_envs=args.num_envs)
-        elif args.algo in ("rmaddpg", "rmatd3"):
-            cfg = RMADDPGConfig(
-                twin=args.algo == "rmatd3",
-                **({"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}),
-            )
-            algo = RMADDPG(env, cfg, num_envs=args.num_envs)
-        elif args.algo == "rmasac":
-            cfg = RMASACConfig(**({"lr": args.lr} if args.lr else {}))
-            algo = RMASAC(env, cfg, num_envs=args.num_envs)
-        elif args.algo in ("rqmix", "rvdn"):
-            env = ft.FormationEnv(env.scenario, discrete_action=True)
-            cfg = RQMixConfig(
-                mixer=args.algo[1:], **({"lr": args.lr} if args.lr else {})
-            )
-            algo = RQMix(env, cfg, num_envs=args.num_envs)
-        else:  # qmix / vdn (MLP variants) need the discrete action head
-            env = ft.FormationEnv(env.scenario, discrete_action=True)
-            cfg = QMixConfig(
-                mixer=args.algo, **({"lr": args.lr} if args.lr else {})
-            )
-            algo = QMix(env, cfg, num_envs=args.num_envs)
-        episodic = args.algo in ("rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn")
-        if episodic:
-            ts, buf = algo.init(key)
-            steps_per_iter = cfg.episodes_per_iter * args.num_envs * env.world_length
-        else:
-            ts, buf, es, obs = algo.init(key)
-            steps_per_iter = cfg.steps_per_iter * args.num_envs
-        if args.restore and latest_step(os.path.join(run_dir, "ckpt")):
-            ts = restore_checkpoint(os.path.join(run_dir, "ckpt"), {"ts": ts})["ts"]
-            print(f"restored checkpoint step {latest_step(os.path.join(run_dir, 'ckpt'))}")
-        for i in range(args.iters):
-            if episodic:
-                ts, buf, m = algo.train_step(ts, buf, jax.random.fold_in(key, i))
-            else:
-                ts, buf, es, obs, m = algo.train_step(
-                    ts, buf, es, obs, jax.random.fold_in(key, i)
-                )
-            if i % args.log_every == 0:
-                m = {k: float(v) for k, v in m.items()}
-                logger.log((i + 1) * steps_per_iter, m)
-                print(f"iter {i}: {m}")
-            if args.save_every and (i + 1) % args.save_every == 0:
-                save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1, {"ts": ts})
+    for i in range(start, start + args.iters):
+        *state, m = algo.train_step(*state, jax.random.fold_in(key, i))
+        if (i - start) % args.log_every == 0:
+            m = {k: float(v) for k, v in m.items()}
+            logger.log((i + 1) * steps_per_iter, m)
+            print(f"iter {i}: {m}")
+        if args.save_every and (i + 1 - start) % args.save_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, tuple(state), max_to_keep=2)
 
     logger.plot("mean_step_reward")
     logger.close()
