@@ -55,17 +55,22 @@ def restore_raw(path: str, step: Optional[int] = None) -> Any:
     """Restore without a template: returns the stored pytree with plain
     dict/list containers (flax ``apply`` accepts these directly).  Useful
     when the consumer doesn't know the saved shapes (e.g. eval restoring a
-    policy from a training checkpoint of unknown batch size)."""
+    policy from a training checkpoint of unknown batch size).  Every leaf is
+    restored onto the local default device, so checkpoints written on a
+    different device type (TPU → CPU eval) load cleanly.
+    """
     import orbax.checkpoint as ocp
 
-    mgr = _manager(path)
     if step is None:
-        step = mgr.latest_step()
+        step = latest_step(path)
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-    out = mgr.restore(step)
-    mgr.close()
-    return out
+    item_dir = os.path.join(os.path.abspath(path), str(step), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(item_dir).item_metadata.tree
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    restore_args = jax.tree.map(lambda m: ocp.ArrayRestoreArgs(sharding=dev), tree)
+    return ckptr.restore(item_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def latest_step(path: str) -> Optional[int]:

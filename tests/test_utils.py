@@ -89,3 +89,22 @@ def test_train_cli_resume_continues_counter(tmp_path):
         int(d) for d in os.listdir(os.path.join(run, "ckpt")) if d.isdigit()
     )
     assert ckpts[-1] == 4  # post-resume save landed (not silently dropped)
+
+
+def test_restore_raw_plain_dicts(tmp_path, key):
+    """restore_raw loads without a template onto the local device and returns
+    plain containers usable by flax apply."""
+    from gym_formation_tpu.utils import restore_raw
+
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=4, ppo_epochs=1), num_envs=4)
+    ts, es, obs = algo.init(key)
+    path = str(tmp_path / "raw")
+    save_checkpoint(path, 1, (ts, es, obs))
+    raw = restore_raw(path)
+    ts_raw = raw[0] if isinstance(raw, (list, tuple)) else raw["0"]
+    mean, _ = algo.actor.apply(ts_raw["params"]["actor"], obs)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(algo.actor.apply(ts.params["actor"], obs)[0]),
+        atol=1e-6,
+    )
