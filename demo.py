@@ -34,8 +34,7 @@ def main():
     args = p.parse_args()
 
     total_agents = args.num_agents**args.num_layer
-    env = ft.make_env(args.scenario, num_agents=total_agents)
-    env = ft.FormationEnv(env.scenario, auto_reset=False)
+    env = ft.make_env(args.scenario, num_agents=total_agents, auto_reset=False)
     key = jax.random.PRNGKey(args.seed)
     reset = jax.jit(env.reset)
     state, obs = reset(key)

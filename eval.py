@@ -43,10 +43,12 @@ def main():
     n = args.num_agents
     total = n**args.num_layer
     kw = {}
-    if args.episode_length and args.scenario == "formation_hd_env":
-        kw["episode_length"] = args.episode_length
-    env = ft.make_env(args.scenario, num_agents=total, benchmark=True, **kw)
-    env = ft.FormationEnv(env.scenario, benchmark=True, auto_reset=False)
+    if args.episode_length is not None:
+        name = "episode_length" if args.scenario == "formation_hd_env" else "world_length"
+        kw[name] = args.episode_length
+    env = ft.make_env(
+        args.scenario, num_agents=total, benchmark=True, auto_reset=False, **kw
+    )
 
     if args.policy == "ckpt":
         assert args.ckpt, "--ckpt required with --policy ckpt"
@@ -63,11 +65,24 @@ def main():
             mean, _ = algo.actor.apply(actor_params, obs_batch)
             return mean
 
-    else:
+    elif args.scenario == "formation_hd_env":
         base_policy = ft.ezpolicy_batched
+    else:
+        # ezpolicy parses the hd 6N-dim obs layout (reference
+        # __init__.py:19-47); other scenarios get random actions
+        print(f"note: ezpolicy is formation_hd-specific; using random actions "
+              f"for {args.scenario}")
+        rng_key = jax.random.PRNGKey(args.seed + 10_000)
+
+        def base_policy(obs):
+            return jax.random.uniform(
+                rng_key, obs.shape[:-1] + (env.act_dim,), obs.dtype, -1.0, 1.0
+            )
 
     def policy(obs):
-        if args.num_layer > 1 or args.policy == "ckpt":
+        if args.policy == "ckpt" or (
+            args.num_layer > 1 and args.scenario == "formation_hd_env"
+        ):
             return ft.bfs_actions(base_policy, obs, n)
         return base_policy(obs)
 

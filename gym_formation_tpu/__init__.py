@@ -30,17 +30,27 @@ def make_env(
     scenario_name: str = "basic_formation_env",
     benchmark: bool = False,
     num_agents: int = 3,
+    auto_reset: bool = True,
+    discrete_action: bool = False,
+    discrete_action_input: bool = False,
     **scenario_kwargs,
 ) -> FormationEnv:
     """Build a single functional env by scenario name.
 
     Signature-compatible with the reference factory
     (``formation_gym/__init__.py:6-17``), with scenario kwargs
-    (``episode_length``, ``num_landmarks``, …) reachable — unlike the
-    reference, where ``make_world`` defaults are hard-coded (SURVEY §8.6).
+    (``episode_length``, ``num_landmarks``, …) AND env-level options
+    (``auto_reset``, ``discrete_action``) reachable — unlike the reference,
+    where ``make_world`` defaults are hard-coded (SURVEY §8.6).
     """
     scenario = make_scenario(scenario_name, num_agents=num_agents, **scenario_kwargs)
-    return FormationEnv(scenario, benchmark=benchmark)
+    return FormationEnv(
+        scenario,
+        benchmark=benchmark,
+        auto_reset=auto_reset,
+        discrete_action=discrete_action,
+        discrete_action_input=discrete_action_input,
+    )
 
 
 def make_vec_env(

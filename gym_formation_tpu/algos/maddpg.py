@@ -295,20 +295,15 @@ class MADDPG:
     def _update_once(self, ts: MADDPGState, batch, weights=None):
         cfg = self.cfg
 
-        def actor_loss_fn(ap):
-            loss, aux = self._losses(ap, ts.critic_params, ts, batch, weights)
-            return loss, aux
+        # one combined gradient: the cross terms are stop_gradient'ed inside
+        # _losses, so grads match the two-pass version at half the cost
+        def loss_fn(params):
+            return self._losses(params["actor"], params["critic"], ts, batch, weights)
 
-        def critic_loss_fn(cp):
-            loss, aux = self._losses(ts.actor_params, cp, ts, batch, weights)
-            return loss, aux
-
-        (_, aux), a_grads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
-            ts.actor_params
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            {"actor": ts.actor_params, "critic": ts.critic_params}
         )
-        (_, _), c_grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-            ts.critic_params
-        )
+        a_grads, c_grads = grads["actor"], grads["critic"]
         a_updates, actor_opt = self.actor_tx.update(a_grads, ts.actor_opt)
         c_updates, critic_opt = self.critic_tx.update(c_grads, ts.critic_opt)
         actor_params = optax.apply_updates(ts.actor_params, a_updates)
@@ -341,8 +336,11 @@ class MADDPG:
             k_act, _ = jax.random.split(k)
             actions = self.explore_actions(ts, obs, k_act)
             env_state, out = jax.vmap(self.env.step)(env_state, actions)
+            # true pre-reset obs for terminal transitions (auto-reset envs
+            # return the NEXT episode's obs in out.obs)
+            next_obs = out.info.get("terminal_obs", out.obs)
             buffer = buffer.insert(
-                obs, actions, out.reward, out.obs, out.done[:, 0]
+                obs, actions, out.reward, next_obs, out.done[:, 0]
             )
             decay = cfg.explore_decay * self.num_envs
             ts = ts.replace(

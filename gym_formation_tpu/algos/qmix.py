@@ -248,7 +248,8 @@ class QMix:
             ts, buffer, env_state, obs = carry
             actions = self.explore_actions(ts, obs, k)
             env_state, out = jax.vmap(self.env.step)(env_state, actions)
-            buffer = buffer.insert(obs, actions, out.reward, out.obs, out.done[:, 0])
+            next_obs = out.info.get("terminal_obs", out.obs)
+            buffer = buffer.insert(obs, actions, out.reward, next_obs, out.done[:, 0])
             ts = ts.replace(env_steps=ts.env_steps + self.num_envs)
             return (ts, buffer, env_state, out.obs), out.reward.mean()
 

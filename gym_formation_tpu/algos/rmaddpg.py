@@ -225,8 +225,11 @@ class RMADDPG:
         cfg = self.cfg
         M, Tp1 = batch["obs"].shape[:2]
         T = Tp1 - 1
-        # target next actions over the whole episode (steps 1..T)
-        u_next = self._actor_rollout(ts.target_actor_params, batch["obs"][:, 1:])
+        # target next actions: roll the GRU over the FULL episode so the
+        # hidden state at step t+1 reflects obs_0..obs_{t+1} (slicing the
+        # rollout, not the inputs — starting from zero hidden at obs_1 would
+        # misalign every target action's history)
+        u_next = self._actor_rollout(ts.target_actor_params, batch["obs"])[:, 1:]
         if cfg.twin:
             noise = jnp.clip(
                 cfg.target_noise * jax.random.normal(key, u_next.shape),
@@ -280,14 +283,16 @@ class RMADDPG:
 
     def _update_once(self, ts: RMADDPGState, batch, key):
         cfg = self.cfg
-        (_, aux), a_grads = jax.value_and_grad(
-            lambda ap: self._losses(ap, ts.critic_params, ts, batch, key),
-            has_aux=True,
-        )(ts.actor_params)
-        (_, _), c_grads = jax.value_and_grad(
-            lambda cp: self._losses(ts.actor_params, cp, ts, batch, key),
-            has_aux=True,
-        )(ts.critic_params)
+
+        # one combined gradient (cross terms are stop_gradient'ed) — also
+        # avoids re-running the whole-episode target-actor rollout twice
+        def loss_fn(params):
+            return self._losses(params["actor"], params["critic"], ts, batch, key)
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            {"actor": ts.actor_params, "critic": ts.critic_params}
+        )
+        a_grads, c_grads = grads["actor"], grads["critic"]
         a_up, actor_opt = self.actor_tx.update(a_grads, ts.actor_opt)
         c_up, critic_opt = self.critic_tx.update(c_grads, ts.critic_opt)
         actor_params = optax.apply_updates(ts.actor_params, a_up)

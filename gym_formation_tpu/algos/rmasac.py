@@ -22,7 +22,7 @@ from flax import struct
 
 from ..env import FormationEnv
 from ..models.networks import orthogonal_init
-from .masac import LOG_STD_MAX, LOG_STD_MIN
+from .masac import LOG_STD_MAX, LOG_STD_MIN, sample_squashed as _sample_squashed
 from .matd3 import TwinQCritic
 from .rmaddpg import EpisodeBuffer
 
@@ -60,16 +60,6 @@ class RecurrentSquashedActor(nn.Module):
         mean = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
         log_std = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
         return carry, (mean, jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX))
-
-
-def _sample_squashed(key, mean, log_std, high):
-    std = jnp.exp(log_std)
-    eps = jax.random.normal(key, mean.shape, mean.dtype)
-    pre = mean + std * eps
-    logp = jnp.sum(-0.5 * eps**2 - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
-    a = jnp.tanh(pre)
-    logp = logp - jnp.sum(jnp.log(jnp.clip(1 - a**2, 1e-6)), axis=-1)
-    return a * high, logp
 
 
 @struct.dataclass
@@ -195,9 +185,11 @@ class RMASAC:
         M, Tp1 = batch["obs"].shape[:2]
         T = Tp1 - 1
         k_next, k_new = jax.random.split(key)
-        # fresh recurrent action sequences: next-step (for targets) and
-        # current-step (for the actor/alpha losses)
-        a_next, logp_next = self._actor_rollout(actor_params, batch["obs"][:, 1:], k_next)
+        # fresh recurrent action sequences: roll the FULL episode for targets
+        # (hidden at t+1 must reflect obs_0..obs_{t+1}) and slice; the
+        # current-step rollout starts at obs_0 so zero hidden is correct
+        a_next_f, logp_next_f = self._actor_rollout(actor_params, batch["obs"], k_next)
+        a_next, logp_next = a_next_f[:, 1:], logp_next_f[:, 1:]
         a_new, logp_new = self._actor_rollout(actor_params, batch["obs"][:, :-1], k_new)
 
         o_flat = batch["obs"][:, :-1].reshape(M * T, -1)

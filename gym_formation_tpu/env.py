@@ -177,6 +177,9 @@ class FormationEnv:
         state = scen.post_step(state)
 
         if self.auto_reset:
+            # keep the true pre-reset observation available for off-policy
+            # bootstrapping (unused consumers are DCE'd by XLA)
+            info["terminal_obs"] = obs
             reset_state, reset_obs = self.reset(k_reset)
             state = jax.tree.map(
                 lambda a, b: jnp.where(

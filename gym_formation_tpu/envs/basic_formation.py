@@ -23,12 +23,15 @@ class BasicFormationScenario(Scenario):
 
     name = "basic_formation_env"
 
-    def __init__(self, num_agents: int = 3, num_landmarks: int = 3, dtype=jnp.float32):
+    def __init__(
+        self, num_agents: int = 3, num_landmarks: int = 3, world_length: int = 50,
+        dtype=jnp.float32,
+    ):
         # Agent size 0.1, landmarks default size, non-collide/static
-        # (``basic_formation_env.py:13-24``); episode length is the world
-        # default 50 (``core.py:113``).
+        # (``basic_formation_env.py:13-24``); episode length defaults to the
+        # world default 50 (``core.py:113``).
         self.cfg = make_world_cfg(
-            num_agents, num_landmarks, agent_size=0.1, world_length=50
+            num_agents, num_landmarks, agent_size=0.1, world_length=world_length
         )
         self.dtype = dtype
         self.obs_dim = 4 + 2 * num_landmarks + 4 * (num_agents - 1)

@@ -46,7 +46,9 @@ def generate_shape(layer: int, layer_shapes: np.ndarray = None, *, fix_recursion
     shapes = DEFAULT_LAYER_SHAPES if layer_shapes is None else np.asarray(layer_shapes, np.float64)
     assert layer < shapes.shape[0], "Layer shape is not enough!"
     base_chain = shapes if (fix_recursion or layer_shapes is None) else DEFAULT_LAYER_SHAPES
-    shape = base_chain[0]
+    # layer 0 IS the top layer: custom shapes apply (reference returns
+    # layer_shapes[0] directly, ``formation_hd_env.py:134-135``)
+    shape = shapes[0] if layer == 0 else base_chain[0]
     for l in range(1, layer + 1):
         lvl = shapes if l == layer else base_chain
         shape = np.stack([lvl[l][i] + shape * 0.45 for i in range(lvl.shape[1])])

@@ -23,6 +23,13 @@ def orthogonal_init(scale: float = jnp.sqrt(2)):
     return nn.initializers.orthogonal(scale)
 
 
+def soft_bound(x: Array, lo: float, hi: float) -> Array:
+    """Smoothly bound ``x`` to (lo, hi) with nonzero gradient everywhere
+    (a hard clip freezes the parameter permanently once it crosses a bound:
+    the clipped branch has zero gradient).  Identity-like near 0."""
+    return hi - nn.softplus(hi - (lo + nn.softplus(x - lo)))
+
+
 class MLP(nn.Module):
     """ReLU MLP trunk with orthogonal init (reference mappo/maddpg-v4 style:
     orthogonal + optional layer norm, ``maddpg-v4/parameters.yaml``)."""
@@ -57,7 +64,7 @@ class GaussianActor(nn.Module):
             "log_std", nn.initializers.constant(self.log_std_init), (self.act_dim,)
         )
         # guard rail: unbounded log_std drift eventually NaNs the PPO ratio
-        log_std = jnp.clip(log_std, -5.0, 2.0)
+        log_std = soft_bound(log_std, -5.0, 2.0)
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 
@@ -143,7 +150,7 @@ class GRUPolicy(nn.Module):
         log_std = self.param(
             "log_std", nn.initializers.constant(0.0), (self.act_dim,)
         )
-        log_std = jnp.clip(log_std, -5.0, 2.0)
+        log_std = soft_bound(log_std, -5.0, 2.0)
         return carry, (mean, jnp.broadcast_to(log_std, mean.shape))
 
     def initial_carry(self, batch_shape) -> Array:

@@ -314,3 +314,31 @@ def test_rmasac_runs_and_tunes_alpha():
     assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
     assert float(m["alpha"]) != RMASACConfig().init_alpha
     assert np.isfinite(float(m["entropy"]))
+
+
+def test_offpolicy_terminal_next_obs_not_reset_obs(key):
+    """Regression (code review): with auto-reset envs the buffer must store
+    the TRUE pre-reset obs as next_obs, not the next episode's initial obs."""
+    scen = ft.make_scenario("formation_hd_env", num_agents=3, episode_length=2)
+    env = ft.FormationEnv(scen)  # auto_reset on
+    algo = MADDPG(
+        env,
+        MADDPGConfig(buffer_size=64, steps_per_iter=2, updates_per_iter=0, batch_size=4),
+        num_envs=1,
+    )
+    ts, buf, es, obs = algo.init(key)
+    ts, buf, es, obs, _ = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(1))
+    # step 2 hits the time limit: the stored transition must chain
+    # continuously from the stored obs (velocities consistent), while the
+    # post-step live obs (reset) differs from stored next_obs
+    stored_next = np.asarray(buf.next_obs[1])
+    live_obs = np.asarray(obs[0])
+    assert not np.allclose(stored_next, live_obs)  # reset obs NOT stored
+    # and the terminal transition's next_obs follows from its obs via physics:
+    # same ideal_shape block (episode unchanged within the transition)
+    n = 3
+    assert np.allclose(
+        np.asarray(buf.obs[1])[:, 4 * n - 2 : 6 * n - 2],
+        stored_next[:, 4 * n - 2 : 6 * n - 2],
+        atol=1e-6,
+    )

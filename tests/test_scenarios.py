@@ -126,6 +126,9 @@ def test_generate_shape_nested_and_layers():
     q = ft.generate_shape(1, custom)
     fixed = ft.generate_shape(1, custom, fix_recursion=True)
     assert q.shape == fixed.shape == (3, 3, 2)
+    # layer 0 IS the top layer: custom shapes must be returned directly
+    my0 = np.arange(6, dtype=float).reshape(1, 3, 2)
+    np.testing.assert_allclose(ft.generate_shape(0, my0), my0[0])
 
 
 def test_hausdorff_matches_scipy():

@@ -112,11 +112,17 @@ def main():
     args = p.parse_args()
 
     kw = {}
-    if args.episode_length is not None and args.scenario == "formation_hd_env":
-        kw["episode_length"] = args.episode_length
-    env = ft.make_env(args.scenario, num_agents=args.num_agents, **kw)
-    if args.algo in ("qmix", "vdn", "rqmix", "rvdn"):
-        env = ft.FormationEnv(env.scenario, discrete_action=True)
+    if args.episode_length is not None:
+        # every scenario exposes a length kwarg (hd names it episode_length,
+        # the others world_length per their reference signatures)
+        name = "episode_length" if args.scenario == "formation_hd_env" else "world_length"
+        kw[name] = args.episode_length
+    env = ft.make_env(
+        args.scenario,
+        num_agents=args.num_agents,
+        discrete_action=args.algo in ("qmix", "vdn", "rqmix", "rvdn"),
+        **kw,
+    )
 
     run_dir = args.run_dir or os.path.join(
         "runs", f"{args.algo}_{args.scenario}_N{args.num_agents}_{int(time.time())}"
