@@ -63,7 +63,10 @@ def main():
 
         def base_policy(obs_batch):
             mean, _ = algo.actor.apply(actor_params, obs_batch)
-            return mean
+            # clip to the control range like the reference agents do
+            # (maddpg-v1/agent.py:22); unbounded means explode through the
+            # hierarchical tar_vel feedback when BFS-expanded
+            return jnp.clip(mean, -1.0, 1.0)
 
     elif args.scenario == "formation_hd_env":
         base_policy = ft.ezpolicy_batched
