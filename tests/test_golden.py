@@ -142,3 +142,32 @@ def test_benchmark_quartet_matches_reference():
             np.asarray(out.info["occupied_landmarks"]),
             [q["occupied_landmarks"] for q in ref_q],
         )
+
+
+@pytest.mark.parametrize(
+    "name,n,steps",
+    [("formation_hd_env", 3, 40), ("formation_hd_partial_range_env", 4, 26)],
+)
+def test_bit_exact_rollout_eager(name, n, steps):
+    """BIT-FOR-BIT parity (the BASELINE.json north star) on the primary
+    workload: eager float64 execution reproduces the reference's exact bit
+    stream for observations and rewards over whole rollouts.  (Under jit,
+    XLA fusion reassociates reductions at the 1-ULP level — covered by the
+    tolerance-based tests above.)"""
+    ref = load_reference()
+    ref_env = ref.make_env(name, benchmark=False, num_agents=n)
+    ref_env.seed(7)
+    ref_obs = ref_env.reset()
+    scenario = ft.make_scenario(name, num_agents=n, dtype=jnp.float64)
+    env = ft.FormationEnv(scenario, auto_reset=False)
+    state = scenario.pre_obs(host_reset(scenario, 7))
+    np.testing.assert_array_equal(np.asarray(scenario.observe(state)), np.stack(ref_obs))
+    rng = np.random.RandomState(123)
+    for t in range(steps):
+        acts = rng.uniform(-1, 1, (n, 2))
+        ro, rr, _, _ = ref_env.step([a.copy() for a in acts])
+        state, out = env.step(state, jnp.asarray(acts))  # eager on purpose
+        np.testing.assert_array_equal(
+            np.asarray(out.obs), np.stack(ro), err_msg=f"obs bits @{t}"
+        )
+        assert float(out.reward[0]) == float(np.asarray(rr).reshape(-1)[0]), t
