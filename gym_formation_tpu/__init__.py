@@ -13,7 +13,7 @@ entry points.
 
 from . import spaces
 from .core import EnvState, StepOut, WorldCfg
-from .env import FormationEnv, VecFormationEnv, rollout
+from .env import FormationEnv, VecFormationEnv, rollout, rollout_stateonly
 from .envs import SCENARIOS, generate_shape, make_scenario, register
 from .models import (
     bfs_actions,
@@ -82,6 +82,7 @@ __all__ = [
     "make_scenario",
     "register",
     "rollout",
+    "rollout_stateonly",
     "generate_shape",
     "ezpolicy",
     "ezpolicy_batched",

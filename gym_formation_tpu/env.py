@@ -264,3 +264,29 @@ def rollout(
         body, (state, obs, key), None, length=length
     )
     return (state, obs), outs
+
+
+def rollout_stateonly(
+    env: FormationEnv,
+    policy_fn,
+    state: EnvState,
+    key: Array,
+    length: int,
+):
+    """Memory-lean rollout: carries ONLY the env state and recomputes the
+    observation from it each step instead of threading obs through the scan
+    carry.  At large scale the obs carry dominates memory (e.g. N=243 ×
+    B=8192: three 11.6 GB [B, N, 6N] buffers live at once under
+    :func:`rollout`); recomputing keeps a single in-flight obs.  Returns the
+    final state and the per-step rewards [T, n_agents]."""
+
+    def body(carry, _):
+        st, k = carry
+        obs = env.scenario.observe(env.scenario.pre_obs(st))
+        k, k_act = jax.random.split(k)
+        actions = policy_fn(obs, k_act)
+        st, out = env.step(st, actions)
+        return (st, k), out.reward
+
+    (state, _), rewards = jax.lax.scan(body, (state, key), None, length=length)
+    return state, rewards

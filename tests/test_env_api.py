@@ -119,3 +119,21 @@ def test_deterministic_given_key(key):
     _, r1 = env.step(s1, a)
     _, r2 = env.step(s2, a)
     np.testing.assert_array_equal(np.asarray(r1.reward), np.asarray(r2.reward))
+
+
+def test_rollout_stateonly_matches_rollout(key):
+    """The memory-lean rollout produces the same rewards as the obs-carrying
+    rollout for an obs-dependent policy."""
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    state, obs = env.reset(key)
+    policy = lambda o, k: ft.ezpolicy_batched(o)
+    (s1, _), outs = jax.jit(
+        lambda s, o: ft.rollout(env, policy, s, o, jax.random.PRNGKey(9), 8)
+    )(state, obs)
+    s2, rewards = jax.jit(
+        lambda s: ft.rollout_stateonly(env, policy, s, jax.random.PRNGKey(9), 8)
+    )(state)
+    np.testing.assert_allclose(
+        np.asarray(outs.reward), np.asarray(rewards), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-5)
