@@ -50,9 +50,9 @@ def make_pair(name, num_agents, seed):
     return ref_env, ref_obs, env, state, obs
 
 
+@pytest.mark.parametrize("seed", [7, 19])
 @pytest.mark.parametrize("name,n,steps", SCENARIO_CONFIGS)
-def test_rollout_parity(name, n, steps):
-    seed = 7
+def test_rollout_parity(name, n, steps, seed):
     ref_env, ref_obs, env, state, obs = make_pair(name, n, seed)
     np.testing.assert_allclose(
         np.asarray(obs), np.stack(ref_obs), atol=1e-12, err_msg="reset obs"
