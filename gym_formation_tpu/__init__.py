@@ -22,6 +22,7 @@ from .models import (
     ezpolicy_batched,
     get_action_BFS,
 )
+from .wrappers import DictAgentEnv, GymMultiAgentEnv
 
 __version__ = "0.1.0"
 
@@ -75,6 +76,8 @@ __all__ = [
     "WorldCfg",
     "FormationEnv",
     "VecFormationEnv",
+    "GymMultiAgentEnv",
+    "DictAgentEnv",
     "SCENARIOS",
     "spaces",
     "make_env",
