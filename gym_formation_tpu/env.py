@@ -290,3 +290,23 @@ def rollout_stateonly(
 
     (state, _), rewards = jax.lax.scan(body, (state, key), None, length=length)
     return state, rewards
+
+
+def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:
+    """Receptor-field offsets in the agent's local frame — the reference's
+    (unused) observation helper ``environment.py:396-414``, kept for surface
+    parity.  ``polar``: 8 angles × 3 radii in [0.1, 1.0] plus the origin
+    (25 points); ``grid``: a 5×5 lattice over [-1, 1]².  Returns [K, 2]."""
+    if receptor_type == "polar":
+        angles = np.linspace(-np.pi, np.pi, 8, endpoint=False)
+        radii = np.linspace(0.05 * 2.0, 1.0, 3)
+        pts = [
+            r * np.array([np.cos(a), np.sin(a)]) for a in angles for r in radii
+        ]
+        pts.append(np.zeros(2))
+    elif receptor_type == "grid":
+        xs = np.linspace(-1.0, 1.0, 5)
+        pts = [np.array([x, y]) for x in xs for y in xs]
+    else:
+        raise ValueError(f"unknown receptor_type: {receptor_type!r}")
+    return np.stack(pts)

@@ -1,6 +1,7 @@
 """Interactive policy, renderer, and scripted-agent hook tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -56,3 +57,18 @@ def test_scripted_agent_hook(key):
     v = np.asarray(state.vel[:3])
     assert v[0, 0] >= 0.09  # scripted agent moved despite zero policy action
     assert abs(v[1, 0]) < 1e-3 and abs(v[2, 0]) < 1e-3
+
+
+def test_receptor_locations_layouts():
+    # reference environment.py:396-414 (unused helper, kept for parity)
+    from gym_formation_tpu.env import make_receptor_locations
+
+    polar = make_receptor_locations("polar")
+    assert polar.shape == (25, 2)
+    np.testing.assert_allclose(polar[-1], 0.0)  # origin appended last
+    radii = np.linalg.norm(polar[:-1], axis=1)
+    assert radii.min() == pytest.approx(0.1) and radii.max() == pytest.approx(1.0)
+    grid = make_receptor_locations("grid")
+    assert grid.shape == (25, 2) and grid.min() == -1.0 and grid.max() == 1.0
+    with pytest.raises(ValueError):
+        make_receptor_locations("hex")
