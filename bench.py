@@ -35,10 +35,14 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
     p.add_argument(
-        "--policy", choices=["ezpolicy", "random", "bfs"], default="ezpolicy",
+        "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
+        default="ezpolicy",
         help="ezpolicy (default): scripted policy consuming the observations "
         "- the honest end-to-end pipeline (with a random policy XLA "
-        "dead-code-eliminates obs construction); bfs: hierarchical expansion",
+        "dead-code-eliminates obs construction); bfs: hierarchical expansion; "
+        "bfs_state: the same hierarchical controller fed O(N) state "
+        "quantities directly (rollout_statepolicy) - same actions, no "
+        "[N, 6N] obs tensor",
     )
     args = p.parse_args()
 
@@ -54,7 +58,7 @@ def main():
         def policy(obs, key):
             return ft.ezpolicy_batched(obs)
 
-    elif args.policy == "bfs":
+    elif args.policy in ("bfs", "bfs_state"):
         import numpy as np
 
         n_per_layer = args.num_agents
@@ -65,8 +69,17 @@ def main():
                 n_per_layer = cand
                 break
 
-        def policy(obs, key):
-            return ft.bfs_actions(ft.ezpolicy_batched, obs, n_per_layer)
+        if args.policy == "bfs_state":
+
+            def policy(state, key):
+                return ft.bfs_actions_from_state(
+                    ft.ezpolicy_batched, env.scenario, state, n_per_layer
+                )
+
+        else:
+
+            def policy(obs, key):
+                return ft.bfs_actions(ft.ezpolicy_batched, obs, n_per_layer)
 
     else:
 
@@ -75,13 +88,25 @@ def main():
                 key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
             )
 
-    @jax.jit
-    def run_chunk(state, obs, key):
-        keys = jax.random.split(key, B)
-        (state, obs), outs = jax.vmap(
-            lambda s, o, k: ft.rollout(env, policy, s, o, k, T)
-        )(state, obs, keys)
-        return state, obs, outs.reward.sum()
+    if args.policy == "bfs_state":
+
+        @jax.jit
+        def run_chunk(state, obs, key):
+            keys = jax.random.split(key, B)
+            state, rewards = jax.vmap(
+                lambda s, k: ft.rollout_statepolicy(env, policy, s, k, T)
+            )(state, keys)
+            return state, obs, rewards.sum()
+
+    else:
+
+        @jax.jit
+        def run_chunk(state, obs, key):
+            keys = jax.random.split(key, B)
+            (state, obs), outs = jax.vmap(
+                lambda s, o, k: ft.rollout(env, policy, s, o, k, T)
+            )(state, obs, keys)
+            return state, obs, outs.reward.sum()
 
     key = jax.random.PRNGKey(0)
     reset = jax.jit(jax.vmap(env.reset))

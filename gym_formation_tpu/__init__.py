@@ -13,11 +13,18 @@ entry points.
 
 from . import spaces
 from .core import EnvState, StepOut, WorldCfg
-from .env import FormationEnv, VecFormationEnv, rollout, rollout_stateonly
+from .env import (
+    FormationEnv,
+    VecFormationEnv,
+    rollout,
+    rollout_statepolicy,
+    rollout_stateonly,
+)
 from .envs import SCENARIOS, generate_shape, make_scenario, register
 from .models import (
     bfs_actions,
     bfs_actions_batched,
+    bfs_actions_from_state,
     ezpolicy,
     ezpolicy_batched,
     get_action_BFS,
@@ -85,11 +92,13 @@ __all__ = [
     "make_scenario",
     "register",
     "rollout",
+    "rollout_statepolicy",
     "rollout_stateonly",
     "generate_shape",
     "ezpolicy",
     "ezpolicy_batched",
     "bfs_actions",
     "bfs_actions_batched",
+    "bfs_actions_from_state",
     "get_action_BFS",
 ]

@@ -23,11 +23,16 @@ from .types import WorldCfg, WallCfg
 
 Array = jnp.ndarray
 
-# Pallas pair-force dispatch.  Measured on v5e at E=486, B=1024 the pure-XLA
-# direct-delta path (0.038 ms) beats both the gram-matrix variant (0.051 ms)
-# and the hand-written Pallas kernel (0.335 ms) — XLA fuses the [E,E,2]
-# delta production into the reductions.  'auto' therefore stays on XLA;
-# 'on' forces the Pallas kernel (opt-in; interpret mode off-TPU for tests).
+# Pallas pair-force dispatch.  In an ISOLATED microbench at E=486, B=1024 the
+# pure-XLA direct-delta path wins (0.038 ms vs 0.335 ms — XLA fuses the
+# [E,E,2] delta production into the reductions).  In the FULL rollout program
+# the picture flips: with reward/obs pipelines competing for HBM, the XLA
+# path's [B,E,E] intermediates materialize, and the fused kernel wins at
+# every measured batch (N=243 bfs_state rollout, v5e: B=1024 118M vs 109M
+# steps/s; B=2048 269M vs 255M; B=8192 fits only with Pallas — XLA needs
+# 18.7G of 15.75G HBM).  'auto' therefore picks the Pallas kernel on TPU for
+# large entity counts; 'on' forces it (interpret mode off-TPU for tests),
+# 'off' forces XLA.
 _PALLAS_MODE = "auto"
 _PALLAS_MIN_ENTITIES = 128
 _pallas_fns = {}
@@ -41,7 +46,15 @@ def set_pallas_mode(mode: str) -> None:
 
 
 def _pallas_wanted(cfg: WorldCfg) -> bool:
-    return _PALLAS_MODE == "on" and cfg.nan_guard
+    if not cfg.nan_guard:
+        return False
+    if _PALLAS_MODE == "on":
+        return True
+    return (
+        _PALLAS_MODE == "auto"
+        and cfg.n_entities >= _PALLAS_MIN_ENTITIES
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _collision_forces_dispatch(cfg: WorldCfg):

@@ -292,6 +292,35 @@ def rollout_stateonly(
     return state, rewards
 
 
+def rollout_statepolicy(
+    env: FormationEnv,
+    state_policy_fn,
+    state: EnvState,
+    key: Array,
+    length: int,
+):
+    """Rollout for policies that consume the ``EnvState`` directly
+    (``state_policy_fn(state, key) -> actions``), e.g.
+    :func:`~gym_formation_tpu.models.bfs.bfs_actions_from_state` closures.
+
+    No observation tensor is ever materialized: the [N, 6N] obs is O(N²)
+    per agent and dominates HBM traffic at large N, while scripted and
+    hierarchical controllers only need O(N) state quantities.  Actions (and
+    hence trajectories/rewards) are identical to driving :func:`rollout`
+    with the equivalent obs-consuming policy.  Returns the final state and
+    per-step rewards [T, n_agents]."""
+
+    def body(carry, _):
+        st, k = carry
+        k, k_act = jax.random.split(k)
+        actions = state_policy_fn(env.scenario.pre_obs(st), k_act)
+        st, out = env.step(st, actions)
+        return (st, k), out.reward
+
+    (state, _), rewards = jax.lax.scan(body, (state, key), None, length=length)
+    return state, rewards
+
+
 def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:
     """Receptor-field offsets in the agent's local frame — the reference's
     (unused) observation helper ``environment.py:396-414``, kept for surface

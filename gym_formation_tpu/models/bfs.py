@@ -52,7 +52,6 @@ def bfs_actions(
     """
     n = n_per_layer
     N = obs.shape[0]
-    L = num_layers(N, n)
     dt = obs.dtype
     # Common translation frame: agent 0's relative view with itself at the
     # origin (only centroid differences are ever used, so any frame works).
@@ -61,11 +60,58 @@ def bfs_actions(
     )
     V = obs[:, :2]
     S = obs[0, 4 * N - 2 : 6 * N - 2].reshape(N, 2)
+    parent_vel = obs[0, 6 * N - 2 :]  # root ideal velocity
+    return _expand(policy_fn, P, V, S, parent_vel, n)
+
+
+def bfs_actions_from_state(
+    policy_fn: Callable[[Array], Array],
+    scenario,
+    state,
+    n_per_layer: int,
+) -> Array:
+    """:func:`bfs_actions` fed directly from an ``EnvState`` — the same
+    actions (to 1-ULP reduction reassociation), without materializing the
+    [N, 6N] observation tensor.
+
+    The expansion consumes exactly four O(N) state quantities (agent
+    positions in any common frame, agent velocities, the ideal shape, the
+    commanded root velocity); the full observation's O(N²) ``others_rel``
+    replication is interface overhead for it.  At N=243 the obs tensor
+    (354k floats/env/step) dominates HBM traffic — this path removes it
+    from scripted/hierarchical rollouts (`hd` scenario family: obs layout
+    ``formation_hd_env.py:38-59``).
+    """
+    pos = scenario.agent_pos(state)
+    P = pos - pos[0]  # == [0; others_rel of agent 0] (scenario._others_rel)
+    return _expand(
+        policy_fn,
+        P,
+        scenario.agent_vel(state),
+        state.ideal_shape,
+        state.ideal_vel,
+        n_per_layer,
+    )
+
+
+def _expand(
+    policy_fn: Callable[[Array], Array],
+    P: Array,
+    V: Array,
+    S: Array,
+    root_vel: Array,
+    n: int,
+) -> Array:
+    """Level-batched BFS expansion core: positions [N,2] (any common frame),
+    velocities [N,2], ideal shape [N,2], root commanded velocity [2]."""
+    N = P.shape[0]
+    L = num_layers(N, n)
+    dt = P.dtype
     # Static gather dropping block i from its own group's centroid list.
     drop_self = np.stack([[k for k in range(n) if k != i] for i in range(n)])
     zeros_comm = jnp.zeros((2 * (n - 1),), dt)
 
-    parent_vel = obs[0, 6 * N - 2 :][None, :]  # [1, 2] — root ideal velocity
+    parent_vel = root_vel[None, :]  # [1, 2]
     out = None
     for l in range(L):
         G = n**l

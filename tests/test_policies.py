@@ -101,3 +101,37 @@ def test_generate_shape_matches_reference():
         np.testing.assert_allclose(
             ft.generate_shape(layer), scen.generate_shape(layer), atol=0
         )
+
+
+@pytest.mark.parametrize("n,L", [(3, 2), (2, 3), (3, 3)])
+def test_bfs_from_state_bitwise_equals_obs_path(n, L):
+    env = ft.make_env("formation_hd_env", num_agents=n**L)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(42))
+    a_obs = ft.bfs_actions(ft.ezpolicy_batched, obs, n)
+    a_state = ft.bfs_actions_from_state(ft.ezpolicy_batched, env.scenario, state, n)
+    # identical inputs; XLA may reassociate the block-mean reductions
+    # between the two graphs at the 1-ULP level (same caveat as RESULTS.md
+    # bit-exactness notes), hence atol instead of array_equal
+    np.testing.assert_allclose(
+        np.asarray(a_obs), np.asarray(a_state), rtol=0, atol=1e-6
+    )
+
+
+def test_rollout_statepolicy_matches_rollout():
+    env = ft.make_env("formation_hd_env", num_agents=9)
+    key = jax.random.PRNGKey(7)
+    state, obs = jax.jit(env.reset)(key)
+
+    pol_obs = lambda o, k: ft.bfs_actions(ft.ezpolicy_batched, o, 3)
+    pol_state = lambda s, k: ft.bfs_actions_from_state(
+        ft.ezpolicy_batched, env.scenario, s, 3
+    )
+    (_, _), outs = jax.jit(
+        lambda s, o: ft.rollout(env, pol_obs, s, o, jax.random.PRNGKey(0), 12)
+    )(state, obs)
+    _, rewards = jax.jit(
+        lambda s: ft.rollout_statepolicy(env, pol_state, s, jax.random.PRNGKey(0), 12)
+    )(state)
+    np.testing.assert_allclose(
+        np.asarray(outs.reward), np.asarray(rewards), rtol=0, atol=1e-5
+    )
