@@ -92,11 +92,12 @@ def main():
 
         @jax.jit
         def run_chunk(state, obs, key):
+            del obs  # never materialized in this mode (see reset below)
             keys = jax.random.split(key, B)
             state, rewards = jax.vmap(
                 lambda s, k: ft.rollout_statepolicy(env, policy, s, k, T)
             )(state, keys)
-            return state, obs, rewards.sum()
+            return state, None, rewards.sum()
 
     else:
 
@@ -109,8 +110,14 @@ def main():
             return state, obs, outs.reward.sum()
 
     key = jax.random.PRNGKey(0)
-    reset = jax.jit(jax.vmap(env.reset))
-    state, obs = reset(jax.random.split(key, B))
+    if args.policy == "bfs_state":
+        # state-only reset: never build the [B, N, 6N] obs tensor (at
+        # B=8192 x N=243 it would pin 11.6 GB of HBM for nothing)
+        reset = jax.jit(jax.vmap(lambda k: env.reset(k)[0]))
+        state, obs = reset(jax.random.split(key, B)), None
+    else:
+        reset = jax.jit(jax.vmap(env.reset))
+        state, obs = reset(jax.random.split(key, B))
 
     # warmup/compile
     state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))

@@ -50,11 +50,10 @@ def _pallas_wanted(cfg: WorldCfg) -> bool:
         return False
     if _PALLAS_MODE == "on":
         return True
-    return (
-        _PALLAS_MODE == "auto"
-        and cfg.n_entities >= _PALLAS_MIN_ENTITIES
-        and jax.default_backend() == "tpu"
-    )
+    # auto: eligibility by size only; the TPU-vs-other choice is made per
+    # lowering platform (lax.platform_dependent in the vmap rule), so inputs
+    # committed to CPU on a TPU-default machine still take the XLA path
+    return _PALLAS_MODE == "auto" and cfg.n_entities >= _PALLAS_MIN_ENTITIES
 
 
 def _collision_forces_dispatch(cfg: WorldCfg):
@@ -78,14 +77,27 @@ def _collision_forces_dispatch(cfg: WorldCfg):
             and pos_b.ndim == 3
             and pos_b.dtype == jnp.float32
         )
-        if eligible:
+        xla = lambda p: jax.vmap(lambda q: _collision_forces_xla(q, cfg))(p)
+        if eligible and _PALLAS_MODE == "on":
             from ..ops.pallas import collision_forces_batched
 
+            # forced: interpret mode keeps the kernel testable off-TPU
             out = collision_forces_batched(
                 pos_b, cfg, interpret=jax.default_backend() != "tpu"
             )
+        elif eligible:
+            from ..ops.pallas import collision_forces_batched
+
+            # auto: select by the platform the computation actually lowers
+            # for (not the process default backend — inputs committed to CPU
+            # on a TPU-default machine must take the XLA path)
+            out = jax.lax.platform_dependent(
+                pos_b,
+                tpu=lambda p: collision_forces_batched(p, cfg, interpret=False),
+                default=xla,
+            )
         else:
-            out = jax.vmap(lambda p: _collision_forces_xla(p, cfg))(pos_b)
+            out = xla(pos_b)
         return out, in_batched[0]
 
     _pallas_fns[key] = (cfg, fn)  # keep cfg alive: cache is keyed by id

@@ -64,6 +64,17 @@ class GymMultiAgentEnv:
                 auto_reset=False,
                 **kwargs,
             )
+        elif env.auto_reset:
+            # The imperative contract returns the TERMINAL obs at
+            # t == world_length and leaves restarts to the caller
+            # (environment.py:144-156); rebuild without in-jit auto-reset.
+            env = FormationEnv(
+                env.scenario,
+                benchmark=env.benchmark,
+                auto_reset=False,
+                discrete_action=env.discrete_action,
+                discrete_action_input=env.discrete_action_input,
+            )
         self._env = env
         self.num_agents = env.num_agents
         self.n = env.num_agents  # legacy-MPE alias (inbox/environment.py:29)
@@ -100,10 +111,15 @@ class GymMultiAgentEnv:
             np.stack([np.asarray(a, np.float32).reshape(-1) for a in action_n])
         )
         self._state, out = self._step_fn(self._state, acts)
-        obs_n = list(np.asarray(out.obs))
-        reward_n = [[float(r)] for r in np.asarray(out.reward)]
-        done_n = [bool(d) for d in np.asarray(out.done)]
-        info = {k: np.asarray(v) for k, v in out.info.items()}
+        # one device->host transfer for the whole StepOut (the per-step hop
+        # is inherent to the imperative contract; don't pay it per field)
+        obs, reward, done, info = jax.device_get(
+            (out.obs, out.reward, out.done, out.info)
+        )
+        obs_n = list(obs)
+        reward_n = [[float(r)] for r in reward]
+        done_n = [bool(d) for d in done]
+        info = {k: np.asarray(v) for k, v in info.items()}
         info_n = [
             {k: (v[i] if v.ndim else v) for k, v in info.items()}
             for i in range(self.num_agents)
@@ -149,7 +165,9 @@ class DictAgentEnv:
         actions = [action_dict[i] for i in self.agent_ids]
         obs_n, rew_n, done_n, _ = self._env.step(actions)
         obs_dict = self._make_dict(obs_n)
-        rew_dict = self._make_dict([r[0] for r in rew_n])
+        # the reference passes the nested [r] lists straight through
+        # (wrapper.py:66-70 over environment.py:128,138) — keep the quirk
+        rew_dict = self._make_dict(rew_n)
         done_dict = self._make_dict(done_n)
         done_dict["__all__"] = all(done_n)
         info_dict = self._make_dict([{"done": d} for d in done_n])

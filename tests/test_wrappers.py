@@ -71,6 +71,9 @@ def test_dict_agent_env_contract():
     acts = {i: np.zeros(2, np.float32) for i in range(3)}
     obs, rew, done, info = env.step(acts)
     assert set(obs) == {0, 1, 2} and set(rew) == {0, 1, 2}
+    # the reference v3 wrapper passes the [[r]] nesting through untouched
+    # (wrapper.py:66-70): rew_dict[i] is the one-element [r] list
+    assert isinstance(rew[0], list) and len(rew[0]) == 1
     # done carries the required "__all__" key (wrapper.py:72)
     assert set(done) == {0, 1, 2, "__all__"} and done["__all__"] is False
     assert info[0] == {"done": False}  # the v3 info workaround (:75)
