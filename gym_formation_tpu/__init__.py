@@ -41,6 +41,7 @@ def make_env(
     auto_reset: bool = True,
     discrete_action: bool = False,
     discrete_action_input: bool = False,
+    force_discrete_action: bool = False,
     **scenario_kwargs,
 ) -> FormationEnv:
     """Build a single functional env by scenario name.
@@ -58,6 +59,7 @@ def make_env(
         auto_reset=auto_reset,
         discrete_action=discrete_action,
         discrete_action_input=discrete_action_input,
+        force_discrete_action=force_discrete_action,
     )
 
 

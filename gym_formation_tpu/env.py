@@ -48,6 +48,11 @@ class FormationEnv:
       discrete_action: 5-way one-hot action decoding instead of continuous
         (``environment.py:64-65,206-210``).
       discrete_action_input: actions are integer indices (``:194-204``).
+      force_discrete_action: continuous actions are snapped to a one-hot
+        over the first ``dim_p`` entries before scaling — the reference's
+        ``force_discrete_action`` attribute (``environment.py:212-215``;
+        driven by ``world.discrete_action``, which no shipped scenario
+        sets — kept for surface parity).
     """
 
     def __init__(
@@ -57,6 +62,7 @@ class FormationEnv:
         auto_reset: bool = True,
         discrete_action: bool = False,
         discrete_action_input: bool = False,
+        force_discrete_action: bool = False,
     ):
         self.scenario = scenario
         self.cfg = scenario.cfg
@@ -64,6 +70,7 @@ class FormationEnv:
         self.auto_reset = auto_reset
         self.discrete_action = discrete_action
         self.discrete_action_input = discrete_action_input
+        self.force_discrete_action = force_discrete_action
         cfg = self.cfg
         n = cfg.n_agents
         self.num_agents = n
@@ -126,6 +133,11 @@ class FormationEnv:
             comm = None if self._all_silent else actions[:, 5 : 5 + cfg.dim_c]
         else:
             u = actions[:, : cfg.dim_p]
+            if self.force_discrete_action:
+                # snap to a one-hot over dim_p (``environment.py:212-215``:
+                # argmax, zero the vector, set 1.0 at the argmax)
+                idx = jnp.argmax(u, axis=-1)
+                u = jax.nn.one_hot(idx, cfg.dim_p, dtype=u.dtype)
             comm = (
                 None
                 if self._all_silent

@@ -171,3 +171,71 @@ def test_bit_exact_rollout_eager(name, n, steps):
             np.asarray(out.obs), np.stack(ro), err_msg=f"obs bits @{t}"
         )
         assert float(out.reward[0]) == float(np.asarray(rr).reshape(-1)[0]), t
+
+
+def _make_ref_env(name, n, seed, **env_kwargs):
+    """Reference env built like ``make_env`` (``__init__.py:6-17``) but with
+    ctor kwargs (``discrete_action``) reachable."""
+    import imp  # shimmed by _refshim
+
+    load_reference()
+    scen = imp.load_source(
+        "", f"/root/reference/formation_gym/envs/{name}.py"
+    ).Scenario()
+    world = scen.make_world(n)
+    import formation_gym.environment as ref_environment
+
+    env = ref_environment.MultiAgentEnv(
+        world, scen.reset_world, scen.reward, scen.observation, **env_kwargs
+    )
+    env.seed(seed)
+    return env, env.reset()
+
+
+@pytest.mark.parametrize(
+    "mode", ["discrete_onehot", "discrete_input", "force_discrete"]
+)
+def test_discrete_action_decode_parity(mode):
+    """Golden parity for the reference's other three action decodings
+    (``environment.py:194-221``): 5-way one-hot (``discrete_action_space``),
+    integer index (``discrete_action_input``), and continuous-snapped-to-
+    one-hot (``force_discrete_action``)."""
+    name, n, steps, seed = "formation_hd_env", 3, 20, 13
+    ref_env, _ = _make_ref_env(name, n, seed, discrete_action=mode == "discrete_onehot")
+    if mode == "discrete_input":
+        ref_env.discrete_action_input = True  # attribute toggle, as upstream
+    if mode == "force_discrete":
+        ref_env.force_discrete_action = True
+
+    scenario = ft.make_scenario(name, num_agents=n, dtype=jnp.float64)
+    env = ft.FormationEnv(
+        scenario,
+        auto_reset=False,
+        discrete_action=mode == "discrete_onehot",
+        discrete_action_input=mode == "discrete_input",
+        force_discrete_action=mode == "force_discrete",
+    )
+    state = scenario.pre_obs(host_reset(scenario, seed))
+    rng = np.random.RandomState(99)
+    step = jax.jit(env.step)
+    for t in range(steps):
+        if mode == "discrete_input":
+            acts = rng.randint(0, 5, (n, 1))
+            ref_acts = [int(a[0]) for a in acts]
+        elif mode == "discrete_onehot":
+            acts = rng.uniform(0, 1, (n, 5))
+            ref_acts = [a.copy() for a in acts]
+        else:
+            acts = rng.uniform(-1, 1, (n, 2))
+            ref_acts = [a.copy() for a in acts]
+        ref_obs, ref_rew, _, _ = ref_env.step(ref_acts)
+        state, out = step(state, jnp.asarray(acts))
+        np.testing.assert_allclose(
+            np.asarray(out.obs), np.stack(ref_obs), atol=1e-9, err_msg=f"{mode} obs@{t}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.reward),
+            np.asarray(ref_rew).reshape(-1),
+            atol=1e-9,
+            err_msg=f"{mode} reward@{t}",
+        )
