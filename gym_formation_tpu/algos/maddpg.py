@@ -43,6 +43,15 @@ class MADDPGConfig:
     noise_rate: float = 0.25
     explore_decay: float = 5e-7
     explore_min: float = 0.05
+    # Ornstein-Uhlenbeck exploration noise — the reference v2 continuous-
+    # action default (``maddpg-v2/utils/noise.py:5-22``, ``utils/agents.py``):
+    # x += theta*(mu - x) + sigma*N(0,1); action += x*scale, with the scale
+    # annealed like v2's ``scale_noise`` (here: the decaying ``noise`` state)
+    # and x reset to mu at episode boundaries.  False = v1 Gaussian noise.
+    ou_noise: bool = False
+    ou_theta: float = 0.15
+    ou_sigma: float = 0.2
+    ou_mu: float = 0.0
     gamma: float = 0.95
     tau: float = 0.01
     buffer_size: int = 500_000
@@ -131,6 +140,7 @@ class MADDPGState:
     epsilon: Array
     env_steps: Array
     grad_updates: Array
+    ou_state: Array  # [B, N, da] OU process state (zeros when unused)
 
 
 class MADDPG:
@@ -188,6 +198,11 @@ class MADDPG:
                 epsilon=jnp.asarray(self.cfg.epsilon, jnp.float32),
                 env_steps=jnp.zeros((), jnp.int32),
                 grad_updates=jnp.zeros((), jnp.int32),
+                ou_state=jnp.full(
+                    (self.num_envs, self.n_agents, self.act_dim),
+                    self.cfg.ou_mu,
+                    jnp.float32,
+                ),
             )
 
         ts = _init(k_net)
@@ -207,22 +222,34 @@ class MADDPG:
         )
         return ts, buffer, env_state, obs
 
-    # -- exploration (reference agent.py:13-23) -----------------------------
-    def explore_actions(self, ts: MADDPGState, obs: Array, key) -> Array:
-        """ε-greedy uniform vs actor + Gaussian noise, clipped to ±high."""
+    # -- exploration (reference agent.py:13-23; v2 utils/noise.py) ----------
+    def explore_actions(self, ts: MADDPGState, obs: Array, key):
+        """ε-greedy uniform vs actor + noise (Gaussian, or OU when
+        ``cfg.ou_noise``), clipped to ±high.  Returns ``(actions, ts)`` with
+        the advanced OU state."""
         cfg = self.cfg
         k_eps, k_uni, k_noise = jax.random.split(key, 3)
         B = obs.shape[0]
         pi = self._actor_all(ts.actor_params, obs)
-        noisy = pi + ts.noise * cfg.high_action * jax.random.normal(k_noise, pi.shape)
-        noisy = jnp.clip(noisy, -cfg.high_action, cfg.high_action)
+        if cfg.ou_noise:
+            x = ts.ou_state
+            x = x + cfg.ou_theta * (cfg.ou_mu - x) + cfg.ou_sigma * (
+                jax.random.normal(k_noise, x.shape, x.dtype)
+            )
+            ts = ts.replace(ou_state=x)
+            noise_term = ts.noise * x
+        else:
+            noise_term = ts.noise * cfg.high_action * jax.random.normal(
+                k_noise, pi.shape
+            )
+        noisy = jnp.clip(pi + noise_term, -cfg.high_action, cfg.high_action)
         uniform = jax.random.uniform(
             k_uni, pi.shape, pi.dtype, -cfg.high_action, cfg.high_action
         )
         take_uniform = (
             jax.random.uniform(k_eps, (B, self.n_agents, 1)) < ts.epsilon
         )
-        return jnp.where(take_uniform, uniform, noisy)
+        return jnp.where(take_uniform, uniform, noisy), ts
 
     # -- losses -------------------------------------------------------------
     def _losses(self, actor_params, critic_params, ts, batch, weights=None):
@@ -334,8 +361,18 @@ class MADDPG:
         def env_step(carry, k):
             ts, buffer, env_state, obs = carry
             k_act, _ = jax.random.split(k)
-            actions = self.explore_actions(ts, obs, k_act)
+            actions, ts = self.explore_actions(ts, obs, k_act)
             env_state, out = jax.vmap(self.env.step)(env_state, actions)
+            if cfg.ou_noise:
+                # reset the OU process at episode boundaries (v2 resets
+                # exploration per episode, ``maddpg-v2/main.py:57-59``)
+                ts = ts.replace(
+                    ou_state=jnp.where(
+                        out.done[:, :1, None],
+                        jnp.asarray(cfg.ou_mu, ts.ou_state.dtype),
+                        ts.ou_state,
+                    )
+                )
             # true pre-reset obs for terminal transitions (auto-reset envs
             # return the NEXT episode's obs in out.obs)
             next_obs = out.info.get("terminal_obs", out.obs)

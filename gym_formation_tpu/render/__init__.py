@@ -1,3 +1,3 @@
-from .renderer import render_state, save_gif
+from .renderer import render_state, save_gif, tile_images
 
-__all__ = ["render_state", "save_gif"]
+__all__ = ["render_state", "save_gif", "tile_images"]

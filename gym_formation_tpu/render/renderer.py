@@ -77,3 +77,16 @@ def save_gif(frames: List[np.ndarray], path: str, fps: int = 20) -> Optional[str
         return None
     imageio.mimsave(path, frames, fps=fps)
     return path
+
+
+def tile_images(img_nhwc: np.ndarray) -> np.ndarray:
+    """Tile N frames into one near-square [H*h, W*w, c] image — the vec-env
+    render path of the reference (``train/maddpg-v4/utils.py:271-290``,
+    used by ``wrapper.py:102-130``); blank-pads to fill the grid."""
+    img_nhwc = np.asarray(img_nhwc)
+    n, h, w, c = img_nhwc.shape
+    H = int(np.ceil(np.sqrt(n)))
+    W = int(np.ceil(n / H))
+    pad = np.zeros((H * W - n, h, w, c), img_nhwc.dtype)
+    grid = np.concatenate([img_nhwc, pad]).reshape(H, W, h, w, c)
+    return grid.transpose(0, 2, 1, 3, 4).reshape(H * h, W * w, c)

@@ -72,3 +72,38 @@ def test_receptor_locations_layouts():
     assert grid.shape == (25, 2) and grid.min() == -1.0 and grid.max() == 1.0
     with pytest.raises(ValueError):
         make_receptor_locations("hex")
+
+
+def test_tile_images_grid():
+    # reference train/maddpg-v4/utils.py:271-290
+    from gym_formation_tpu.render import tile_images
+
+    frames = np.arange(5 * 4 * 6 * 3, dtype=np.uint8).reshape(5, 4, 6, 3)
+    big = tile_images(frames)
+    assert big.shape == (3 * 4, 2 * 6, 3)  # 5 -> 3x2 grid
+    np.testing.assert_array_equal(big[:4, :6], frames[0])
+    np.testing.assert_array_equal(big[:4, 6:12], frames[1])
+    np.testing.assert_array_equal(big[8:, 6:], 0)  # padded slot
+
+
+def test_maddpg_ou_noise_explores_and_resets():
+    # v2 OU exploration (maddpg-v2/utils/noise.py) as a flag
+    from gym_formation_tpu.algos import MADDPG, MADDPGConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3, episode_length=4)
+    algo = MADDPG(
+        env,
+        MADDPGConfig(
+            ou_noise=True, steps_per_iter=8, updates_per_iter=1, batch_size=8,
+            buffer_size=64,
+        ),
+        num_envs=4,
+    )
+    ts, buf, es, obs = algo.init(jax.random.PRNGKey(0))
+    assert ts.ou_state.shape == (4, 3, 2) and float(jnp.abs(ts.ou_state).max()) == 0
+    acts, ts2 = jax.jit(algo.explore_actions)(ts, obs, jax.random.PRNGKey(1))
+    assert float(jnp.abs(ts2.ou_state).max()) > 0  # OU advanced
+    assert acts.shape == (4, 3, 2)
+    out = jax.jit(algo.train_step)(ts, buf, es, obs, jax.random.PRNGKey(2))
+    *state, m = out
+    assert np.isfinite(float(m["critic_loss"]))

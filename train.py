@@ -53,33 +53,49 @@ ONPOLICY = ("mappo", "rmappo")
 
 def build(args, env):
     """Return (algo, cfg, state) where state is the full training tuple."""
-    lr = {"lr": args.lr} if args.lr else {}
-    lr2 = {"lr_actor": args.lr, "lr_critic": args.lr} if args.lr else {}
+    from gym_formation_tpu.utils.config import load_config
+
+    lr = [f"lr={args.lr}"] if args.lr else []
+    lr2 = [f"lr_actor={args.lr}", f"lr_critic={args.lr}"] if args.lr else []
+    sets = list(args.set or [])
+
+    def cfg_of(cls, base, extra=()):
+        # defaults <- --config yaml <- implied flags <- --set key=value
+        return load_config(cls, args.config, [*base, *extra, *sets])
+
     key = jax.random.PRNGKey(args.seed)
     if args.algo == "mappo":
-        algo = MAPPO(env, MAPPOConfig(**lr), num_envs=args.num_envs)
+        algo = MAPPO(env, cfg_of(MAPPOConfig, lr), num_envs=args.num_envs)
     elif args.algo == "rmappo":
-        algo = RMAPPO(env, RMAPPOConfig(**lr), num_envs=args.num_envs)
+        algo = RMAPPO(env, cfg_of(RMAPPOConfig, lr), num_envs=args.num_envs)
     elif args.algo in ("maddpg", "ddpg"):
         algo = MADDPG(
             env,
-            MADDPGConfig(centralized=args.algo == "maddpg", **lr2),
+            cfg_of(MADDPGConfig, lr2, [f"centralized={args.algo == 'maddpg'}"]),
             num_envs=args.num_envs,
         )
     elif args.algo == "matd3":
-        algo = MATD3(env, MATD3Config(**lr2), num_envs=args.num_envs)
+        algo = MATD3(env, cfg_of(MATD3Config, lr2), num_envs=args.num_envs)
     elif args.algo == "masac":
-        algo = MASAC(env, MASACConfig(**lr), num_envs=args.num_envs)
+        algo = MASAC(env, cfg_of(MASACConfig, lr), num_envs=args.num_envs)
     elif args.algo in ("rmaddpg", "rmatd3"):
         algo = RMADDPG(
-            env, RMADDPGConfig(twin=args.algo == "rmatd3", **lr2), num_envs=args.num_envs
+            env,
+            cfg_of(RMADDPGConfig, lr2, [f"twin={args.algo == 'rmatd3'}"]),
+            num_envs=args.num_envs,
         )
     elif args.algo == "rmasac":
-        algo = RMASAC(env, RMASACConfig(**lr), num_envs=args.num_envs)
+        algo = RMASAC(env, cfg_of(RMASACConfig, lr), num_envs=args.num_envs)
     elif args.algo in ("rqmix", "rvdn"):
-        algo = RQMix(env, RQMixConfig(mixer=args.algo[1:], **lr), num_envs=args.num_envs)
+        algo = RQMix(
+            env, cfg_of(RQMixConfig, [], [f"mixer={args.algo[1:]}", *lr]),
+            num_envs=args.num_envs,
+        )
     else:  # qmix / vdn (MLP variants)
-        algo = QMix(env, QMixConfig(mixer=args.algo, **lr), num_envs=args.num_envs)
+        algo = QMix(
+            env, cfg_of(QMixConfig, [], [f"mixer={args.algo}", *lr]),
+            num_envs=args.num_envs,
+        )
     return algo, algo.cfg, list(algo.init(key))
 
 
@@ -100,6 +116,17 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--episode-length", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument(
+        "--set", action="append", metavar="KEY=VALUE", default=[],
+        help="override any field of the algorithm's config dataclass, "
+        "repeatable (e.g. --set entropy_coef=0.001 --set ppo_epochs=5); "
+        "unknown keys are rejected with the valid field list",
+    )
+    p.add_argument(
+        "--config", default=None,
+        help="YAML file of config overrides (the v4 parameters.yaml path); "
+        "--set takes precedence",
+    )
     p.add_argument("--run-dir", default=None)
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--log-every", type=int, default=10)
