@@ -30,7 +30,13 @@ import optax
 from flax import struct
 
 from ..env import FormationEnv
-from ..models.networks import CentralizedQCritic, DeterministicActor
+from ..models.networks import (
+    CentralizedQCritic,
+    DeterministicActor,
+    LogitsActor,
+    gumbel_softmax_st,
+    onehot_from_logits,
+)
 
 Array = jnp.ndarray
 
@@ -153,7 +159,14 @@ class MADDPG:
         self.n_agents = env.num_agents
         self.obs_dim = env.scenario.obs_dim
         self.act_dim = env.act_dim
-        self.actor = DeterministicActor(self.act_dim, cfg.high_action, cfg.hidden)
+        # discrete envs take one-hot actions: logits actor + gumbel-softmax
+        # through the critic, the reference v2 discrete path
+        # (``maddpg-v2/algorithms/maddpg.py:166-180``, ``utils/misc.py:49-80``)
+        self.discrete = bool(env.discrete_action and not env.discrete_action_input)
+        if self.discrete:
+            self.actor = LogitsActor(self.act_dim, cfg.hidden)
+        else:
+            self.actor = DeterministicActor(self.act_dim, cfg.high_action, cfg.hidden)
         self.critic = CentralizedQCritic(cfg.high_action, cfg.hidden)
         self.actor_tx = optax.adam(cfg.lr_actor)
         self.critic_tx = optax.adam(cfg.lr_critic)
@@ -231,6 +244,17 @@ class MADDPG:
         k_eps, k_uni, k_noise = jax.random.split(key, 3)
         B = obs.shape[0]
         pi = self._actor_all(ts.actor_params, obs)
+        if self.discrete:
+            # v2 ``onehot_from_logits(pi, eps)``: greedy one-hot, ε-random
+            greedy = onehot_from_logits(pi)
+            rand_idx = jax.random.randint(
+                k_uni, (B, self.n_agents), 0, self.act_dim
+            )
+            rand = jax.nn.one_hot(rand_idx, self.act_dim, dtype=pi.dtype)
+            take_uniform = (
+                jax.random.uniform(k_eps, (B, self.n_agents, 1)) < ts.epsilon
+            )
+            return jnp.where(take_uniform, rand, greedy), ts
         if cfg.ou_noise:
             x = ts.ou_state
             x = x + cfg.ou_theta * (cfg.ou_mu - x) + cfg.ou_sigma * (
@@ -285,10 +309,21 @@ class MADDPG:
             critic_loss = jnp.mean(w * sq_err)
             # actor: substitute own action (others fixed from the batch)
             a_i = self.actor.apply(aparams_i, batch["obs"][:, i])
+            if self.discrete:
+                # straight-through gumbel sample so ∂Q/∂logits flows
+                # (v2 ``algorithms/maddpg.py:172-174``); v2 also regularizes
+                # the raw net output, ``:184``
+                logits_i = a_i
+                a_i = gumbel_softmax_st(
+                    jax.random.fold_in(batch["noise_key"], i), logits_i
+                )
+                reg = 1e-3 * jnp.mean(logits_i**2)
+            else:
+                reg = 0.0
             u_sub = (
                 u_all_b.at[:, i].set(a_i).reshape(M, -1) if cen else a_i
             )
-            actor_loss = -jnp.mean(
+            actor_loss = reg - jnp.mean(
                 self._q_policy(jax.lax.stop_gradient(cparams_i), o_in, u_sub)
             )
             return critic_loss, actor_loss, td_abs
@@ -306,7 +341,9 @@ class MADDPG:
 
     # Hooks specialized by MATD3 (twin critics + target smoothing).
     def _target_actions(self, ts, batch):
-        return self._actor_all(ts.target_actor_params, batch["next_obs"])
+        out = self._actor_all(ts.target_actor_params, batch["next_obs"])
+        # discrete: greedy one-hot from target logits (v2 ``maddpg.py:150-156``)
+        return onehot_from_logits(out) if self.discrete else out
 
     def _q_target(self, tcparams_i, on_in, un_in, ts):
         return self.critic.apply(tcparams_i, on_in, un_in)
@@ -432,4 +469,5 @@ class MADDPG:
         return ts, buffer, env_state, obs, metrics
 
     def eval_actions(self, ts: MADDPGState, obs: Array) -> Array:
-        return self._actor_all(ts.actor_params, obs)
+        out = self._actor_all(ts.actor_params, obs)
+        return onehot_from_logits(out) if self.discrete else out

@@ -54,6 +54,17 @@ class MATD3(MADDPG):
         actors' next actions, re-clipped to the action range."""
         cfg = self.cfg
         u_next = self._actor_all(ts.target_actor_params, batch["next_obs"])
+        if self.discrete:
+            # discrete analog of target smoothing: stochastic hard
+            # gumbel-softmax sample of the target logits (the reference
+            # offpolicy package's discrete matd3 path)
+            from ..models.networks import gumbel_softmax_st
+
+            return jax.lax.stop_gradient(
+                gumbel_softmax_st(
+                    jax.random.fold_in(batch["noise_key"], 11), u_next
+                )
+            )
         noise = jnp.clip(
             cfg.target_noise
             * jax.random.normal(batch["noise_key"], u_next.shape, u_next.dtype),

@@ -111,6 +111,37 @@ class CentralizedQCritic(nn.Module):
         return nn.Dense(1, kernel_init=orthogonal_init(1.0))(h).squeeze(-1)
 
 
+class LogitsActor(nn.Module):
+    """Discrete-action actor: MLP → per-action logits (the reference v2
+    discrete path, where the policy net's raw output feeds
+    ``onehot_from_logits``/``gumbel_softmax`` —
+    ``maddpg-v2/utils/agents.py:48-62``, ``utils/misc.py:49-80``)."""
+
+    n_actions: int
+    hidden: Sequence[int] = (64, 64, 64)
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Array:
+        h = MLP(self.hidden)(obs)
+        return nn.Dense(self.n_actions, kernel_init=orthogonal_init(0.01))(h)
+
+
+def onehot_from_logits(logits: Array) -> Array:
+    """Greedy one-hot over the last axis (``maddpg-v2/utils/misc.py:49-57``;
+    the ε-random branch lives in the caller's exploration logic)."""
+    return jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=logits.dtype)
+
+
+def gumbel_softmax_st(key, logits: Array, tau: float = 1.0) -> Array:
+    """Straight-through Gumbel-softmax sample: hard one-hot forward, softmax
+    gradient backward (``maddpg-v2/utils/misc.py:60-80``, hard=True path used
+    by the discrete actor loss ``algorithms/maddpg.py:174``)."""
+    g = jax.random.gumbel(key, logits.shape, logits.dtype)
+    y = jax.nn.softmax((logits + g) / tau, axis=-1)
+    y_hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1], dtype=y.dtype)
+    return y_hard + y - jax.lax.stop_gradient(y)
+
+
 def gaussian_logp(mean: Array, log_std: Array, action: Array) -> Array:
     """Diagonal-Gaussian log density, summed over action dims."""
     var = jnp.exp(2 * log_std)

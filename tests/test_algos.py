@@ -342,3 +342,44 @@ def test_offpolicy_terminal_next_obs_not_reset_obs(key):
         stored_next[:, 4 * n - 2 : 6 * n - 2],
         atol=1e-6,
     )
+
+
+def test_maddpg_discrete_gumbel_path(key):
+    """Discrete env → logits actor, one-hot actions through env + critic
+    (the reference v2 discrete path: maddpg-v2/algorithms/maddpg.py:166-180)."""
+    env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)
+    algo = MADDPG(
+        env,
+        MADDPGConfig(buffer_size=1024, steps_per_iter=16, updates_per_iter=2,
+                     batch_size=64),
+        num_envs=8,
+    )
+    assert algo.discrete and env.act_dim == 5
+    ts, buf, es, obs = algo.init(key)
+    ts, buf, es, obs, m = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
+    # exploration and eval actions are exact one-hots
+    acts, _ = jax.jit(algo.explore_actions)(ts, obs, jax.random.PRNGKey(2))
+    acts = np.asarray(acts)
+    assert acts.shape == (8, 3, 5)
+    assert np.allclose(acts.sum(-1), 1.0) and set(np.unique(acts)) == {0.0, 1.0}
+    ev = np.asarray(algo.eval_actions(ts, obs))
+    assert np.allclose(ev.sum(-1), 1.0) and set(np.unique(ev)) == {0.0, 1.0}
+
+
+def test_matd3_discrete_runs():
+    from gym_formation_tpu.algos import MATD3, MATD3Config
+
+    env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)
+    algo = MATD3(
+        env,
+        MATD3Config(buffer_size=1024, steps_per_iter=16, updates_per_iter=2,
+                    batch_size=64),
+        num_envs=8,
+    )
+    ts, buf, es, obs = algo.init(jax.random.PRNGKey(0))
+    for i in range(2):
+        ts, buf, es, obs, m = algo.train_step(ts, buf, es, obs, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
+    ev = np.asarray(algo.eval_actions(ts, obs))
+    assert np.allclose(ev.sum(-1), 1.0)

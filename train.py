@@ -127,6 +127,12 @@ def main():
         help="YAML file of config overrides (the v4 parameters.yaml path); "
         "--set takes precedence",
     )
+    p.add_argument(
+        "--discrete-action", action="store_true",
+        help="5-way discrete action env (implied for qmix/vdn variants); "
+        "maddpg/ddpg/matd3 switch to the logits actor + gumbel-softmax "
+        "update (the reference v2 discrete path)",
+    )
     p.add_argument("--run-dir", default=None)
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--log-every", type=int, default=10)
@@ -138,6 +144,12 @@ def main():
     )
     args = p.parse_args()
 
+    if args.discrete_action and args.algo not in ("maddpg", "ddpg", "matd3"):
+        raise SystemExit(
+            "--discrete-action is supported by maddpg/ddpg/matd3 (the v2 "
+            "gumbel-softmax path); qmix/vdn variants are discrete by default"
+        )
+
     kw = {}
     if args.episode_length is not None:
         # every scenario exposes a length kwarg (hd names it episode_length,
@@ -147,7 +159,9 @@ def main():
     env = ft.make_env(
         args.scenario,
         num_agents=args.num_agents,
-        discrete_action=args.algo in ("qmix", "vdn", "rqmix", "rvdn"),
+        discrete_action=(
+            args.discrete_action or args.algo in ("qmix", "vdn", "rqmix", "rvdn")
+        ),
         **kw,
     )
 
