@@ -25,10 +25,15 @@ from flax import struct
 from ..env import FormationEnv
 from ..models.networks import (
     GaussianActor,
+    LogitsActor,
     ValueCritic,
+    categorical_entropy,
+    categorical_logp,
+    categorical_sample,
     gaussian_entropy,
     gaussian_logp,
     gaussian_sample,
+    onehot_from_logits,
 )
 
 Array = jnp.ndarray
@@ -121,7 +126,13 @@ class MAPPO:
         self.n_agents = env.num_agents
         self.obs_dim = env.scenario.obs_dim
         self.act_dim = env.act_dim
-        self.actor = GaussianActor(self.act_dim, cfg.hidden)
+        # discrete envs get a categorical head (onpolicy's ACTLayer discrete
+        # branch); continuous the diagonal Gaussian
+        self.discrete = bool(env.discrete_action and not env.discrete_action_input)
+        if self.discrete:
+            self.actor = LogitsActor(self.act_dim, cfg.hidden)
+        else:
+            self.actor = GaussianActor(self.act_dim, cfg.hidden)
         self.critic = ValueCritic(cfg.hidden)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -167,13 +178,33 @@ class MAPPO:
         return ts, env_state, obs
 
     def _apply_actor(self, params, obs: Array):
-        """obs [..., N, do] → (mean, log_std) [..., N, da] for shared or
-        per-agent stacked params."""
+        """obs [..., N, do] → dist params [..., N, da] ((mean, log_std) tuple
+        for Gaussian, logits array for categorical), shared or per-agent
+        stacked params."""
         if self.cfg.share_policy:
             return self.actor.apply(params, obs)
-        return jax.vmap(self.actor.apply, in_axes=(0, -2), out_axes=(-2, -2))(
+        return jax.vmap(self.actor.apply, in_axes=(0, -2), out_axes=-2)(
             params, obs
         )
+
+    # distribution ops dispatched on the action-space kind
+    def _dist_sample(self, key, dist):
+        if self.discrete:
+            return categorical_sample(key, dist)
+        return gaussian_sample(key, *dist)
+
+    def _dist_logp(self, dist, action):
+        if self.discrete:
+            return categorical_logp(dist, action)
+        return gaussian_logp(*dist, action)
+
+    def _dist_entropy(self, dist):
+        if self.discrete:
+            return jnp.mean(categorical_entropy(dist))
+        return jnp.mean(gaussian_entropy(dist[1]))
+
+    def _dist_mode(self, dist):
+        return onehot_from_logits(dist) if self.discrete else dist[0]
 
     def _apply_critic(self, params, share_obs: Array):
         """share_obs [B, N·do] → value [B] (shared) or [B, N] (separated)."""
@@ -183,10 +214,10 @@ class MAPPO:
         return jnp.moveaxis(v, 0, -1)
 
     def act(self, params, obs: Array, key=None, deterministic: bool = True) -> Array:
-        mean, log_std = self._apply_actor(params["actor"], obs)
+        dist = self._apply_actor(params["actor"], obs)
         if deterministic or key is None:
-            return mean
-        return gaussian_sample(key, mean, log_std)
+            return self._dist_mode(dist)
+        return self._dist_sample(key, dist)
 
     # -- rollout ------------------------------------------------------------
     def _collect(self, ts: MAPPOState, env_state, obs, key):
@@ -199,9 +230,9 @@ class MAPPO:
             key, k_act = jax.random.split(key)
             share_obs = obs.reshape(B, N * self.obs_dim)
             value = self._apply_critic(ts.params["critic"], share_obs)
-            mean, log_std = self._apply_actor(ts.params["actor"], obs)  # [B,N,da]
-            action = gaussian_sample(k_act, mean, log_std)
-            logp = gaussian_logp(mean, log_std, action)  # [B,N]
+            dist = self._apply_actor(ts.params["actor"], obs)  # [B,N,da]
+            action = self._dist_sample(k_act, dist)
+            logp = self._dist_logp(dist, action)  # [B,N]
             env_state, out = jax.vmap(self.env.step)(env_state, action)
             traj = {
                 "obs": obs,
@@ -256,8 +287,8 @@ class MAPPO:
     # -- update -------------------------------------------------------------
     def _loss(self, params, batch, vn: ValueNorm):
         cfg = self.cfg
-        mean, log_std = self._apply_actor(params["actor"], batch["obs"])  # [M,N,da]
-        logp = gaussian_logp(mean, log_std, batch["action"])  # [M,N]
+        dist = self._apply_actor(params["actor"], batch["obs"])  # [M,N,da]
+        logp = self._dist_logp(dist, batch["action"])  # [M,N]
         # clamp the log-ratio: a policy far from the behavior policy after
         # many epochs otherwise overflows exp() into inf/NaN gradients
         ratio = jnp.exp(jnp.clip(logp - batch["logp"], -20.0, 20.0))
@@ -267,7 +298,7 @@ class MAPPO:
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        entropy = jnp.mean(gaussian_entropy(log_std))
+        entropy = self._dist_entropy(dist)
 
         value = self._apply_critic(params["critic"], batch["share_obs"])
         target = batch["target"]

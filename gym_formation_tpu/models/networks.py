@@ -142,6 +142,24 @@ def gumbel_softmax_st(key, logits: Array, tau: float = 1.0) -> Array:
     return y_hard + y - jax.lax.stop_gradient(y)
 
 
+def categorical_logp(logits: Array, action_onehot: Array) -> Array:
+    """log π(a|s) for a one-hot action over the last axis (the discrete
+    branch of onpolicy's ACTLayer, mirrored by ``maddpg-v4/utils.py``'s
+    multidiscrete heads — reference ``train/maddpg-v4/utils.py:118-160``)."""
+    return jnp.sum(jax.nn.log_softmax(logits) * action_onehot, axis=-1)
+
+
+def categorical_entropy(logits: Array) -> Array:
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+def categorical_sample(key, logits: Array) -> Array:
+    """One-hot sample over the last axis."""
+    idx = jax.random.categorical(key, logits)
+    return jax.nn.one_hot(idx, logits.shape[-1], dtype=logits.dtype)
+
+
 def gaussian_logp(mean: Array, log_std: Array, action: Array) -> Array:
     """Diagonal-Gaussian log density, summed over action dims."""
     var = jnp.exp(2 * log_std)

@@ -383,3 +383,42 @@ def test_matd3_discrete_runs():
     assert np.isfinite(float(m["critic_loss"])) and float(m["critic_loss"]) > 0
     ev = np.asarray(algo.eval_actions(ts, obs))
     assert np.allclose(ev.sum(-1), 1.0)
+
+
+def test_mappo_discrete_categorical_head(key):
+    """Discrete env → categorical actor (onpolicy ACTLayer's discrete
+    branch): one-hot actions, finite losses, improving value loss."""
+    from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=16, ppo_epochs=4, lr=1e-3), num_envs=16)
+    assert algo.discrete
+    ts, es, obs = algo.init(key)
+    losses = []
+    for i in range(6):
+        ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(i + 1))
+        assert np.isfinite(float(m["pg_loss"])) and np.isfinite(float(m["entropy"]))
+        losses.append(float(m["v_loss"]))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+    # deterministic + stochastic actions are exact one-hots
+    det = np.asarray(algo.act(ts.params, obs))
+    sto = np.asarray(algo.act(ts.params, obs, jax.random.PRNGKey(9), deterministic=False))
+    for a in (det, sto):
+        assert a.shape == (16, 3, 5)
+        assert np.allclose(a.sum(-1), 1.0) and set(np.unique(a)) == {0.0, 1.0}
+
+
+def test_mappo_discrete_separated_policy(key):
+    from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)
+    algo = MAPPO(
+        env,
+        MAPPOConfig(rollout_len=8, ppo_epochs=2, share_policy=False),
+        num_envs=8,
+    )
+    ts, es, obs = algo.init(key)
+    ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["pg_loss"]))
+    a = np.asarray(algo.act(ts.params, obs))
+    assert a.shape == (8, 3, 5) and np.allclose(a.sum(-1), 1.0)

@@ -131,7 +131,8 @@ def main():
         "--discrete-action", action="store_true",
         help="5-way discrete action env (implied for qmix/vdn variants); "
         "maddpg/ddpg/matd3 switch to the logits actor + gumbel-softmax "
-        "update (the reference v2 discrete path)",
+        "update (the reference v2 discrete path), mappo to a categorical "
+        "head (onpolicy's ACTLayer discrete branch)",
     )
     p.add_argument("--run-dir", default=None)
     p.add_argument("--save-every", type=int, default=100)
@@ -144,10 +145,11 @@ def main():
     )
     args = p.parse_args()
 
-    if args.discrete_action and args.algo not in ("maddpg", "ddpg", "matd3"):
+    if args.discrete_action and args.algo not in ("maddpg", "ddpg", "matd3", "mappo"):
         raise SystemExit(
             "--discrete-action is supported by maddpg/ddpg/matd3 (the v2 "
-            "gumbel-softmax path); qmix/vdn variants are discrete by default"
+            "gumbel-softmax path) and mappo (categorical head); qmix/vdn "
+            "variants are discrete by default"
         )
 
     kw = {}
