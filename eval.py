@@ -38,22 +38,37 @@ def main():
     p.add_argument("--episode-length", type=int, default=None)
     p.add_argument("--gif", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--discrete-action", action="store_true",
+        help="checkpoint was trained with train.py --discrete-action "
+        "(one-hot action env, logits actor)",
+    )
     args = p.parse_args()
 
     n = args.num_agents
     total = n**args.num_layer
+    if args.discrete_action and args.num_layer > 1:
+        raise SystemExit(
+            "--num-layer > 1 needs continuous velocity actions (the BFS "
+            "hierarchy feeds target velocities to sub-groups); discrete "
+            "policies can't be BFS-expanded"
+        )
     kw = {}
     if args.episode_length is not None:
         name = "episode_length" if args.scenario == "formation_hd_env" else "world_length"
         kw[name] = args.episode_length
     env = ft.make_env(
-        args.scenario, num_agents=total, benchmark=True, auto_reset=False, **kw
+        args.scenario, num_agents=total, benchmark=True, auto_reset=False,
+        discrete_action=args.discrete_action, **kw
     )
 
     if args.policy == "ckpt":
         assert args.ckpt, "--ckpt required with --policy ckpt"
         # restore into a skeleton built from a same-arity MAPPO
-        proto_env = ft.make_env(args.scenario, num_agents=n, **kw)
+        proto_env = ft.make_env(
+            args.scenario, num_agents=n,
+            discrete_action=args.discrete_action, **kw
+        )
         algo = MAPPO(proto_env, MAPPOConfig(), num_envs=1)
         # raw restore: the checkpoint's env-batch shapes are unknown here and
         # only the policy params are needed
@@ -62,6 +77,10 @@ def main():
         actor_params = ts_raw["params"]["actor"]
 
         def base_policy(obs_batch):
+            if args.discrete_action:
+                from gym_formation_tpu.models.networks import onehot_from_logits
+
+                return onehot_from_logits(algo.actor.apply(actor_params, obs_batch))
             mean, _ = algo.actor.apply(actor_params, obs_batch)
             # clip to the control range like the reference agents do
             # (maddpg-v1/agent.py:22); unbounded means explode through the
@@ -83,6 +102,8 @@ def main():
             )
 
     def policy(obs):
+        if args.discrete_action:
+            return base_policy(obs)  # one-hots: no BFS velocity expansion
         if args.policy == "ckpt" or (
             args.num_layer > 1 and args.scenario == "formation_hd_env"
         ):

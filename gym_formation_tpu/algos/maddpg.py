@@ -245,16 +245,13 @@ class MADDPG:
         B = obs.shape[0]
         pi = self._actor_all(ts.actor_params, obs)
         if self.discrete:
-            # v2 ``onehot_from_logits(pi, eps)``: greedy one-hot, ε-random
-            greedy = onehot_from_logits(pi)
-            rand_idx = jax.random.randint(
-                k_uni, (B, self.n_agents), 0, self.act_dim
-            )
-            rand = jax.nn.one_hot(rand_idx, self.act_dim, dtype=pi.dtype)
-            take_uniform = (
-                jax.random.uniform(k_eps, (B, self.n_agents, 1)) < ts.epsilon
-            )
-            return jnp.where(take_uniform, rand, greedy), ts
+            # v2 explores discrete actions by SAMPLING a hard gumbel-softmax
+            # of the logits (``maddpg-v2/utils/agents.py:55-62``; its
+            # onehot_from_logits eps arg is never used) — equivalent to a
+            # categorical draw from softmax(logits), no ε-greedy mixing
+            g = jax.random.gumbel(k_noise, pi.shape, pi.dtype)
+            idx = jnp.argmax(pi + g, axis=-1)
+            return jax.nn.one_hot(idx, self.act_dim, dtype=pi.dtype), ts
         if cfg.ou_noise:
             x = ts.ou_state
             x = x + cfg.ou_theta * (cfg.ou_mu - x) + cfg.ou_sigma * (

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..models.networks import CentralizedQCritic
+from ..models.networks import CentralizedQCritic, gumbel_softmax_st
 from .maddpg import MADDPG, MADDPGConfig, MADDPGState
 
 Array = jnp.ndarray
@@ -57,12 +57,13 @@ class MATD3(MADDPG):
         if self.discrete:
             # discrete analog of target smoothing: stochastic hard
             # gumbel-softmax sample of the target logits (the reference
-            # offpolicy package's discrete matd3 path)
-            from ..models.networks import gumbel_softmax_st
-
+            # offpolicy package's discrete matd3 path); fold at n_agents —
+            # the base class folds per-agent at 0..n_agents-1 (maddpg.py),
+            # so an index-valued fold would collide with that agent's key
             return jax.lax.stop_gradient(
                 gumbel_softmax_st(
-                    jax.random.fold_in(batch["noise_key"], 11), u_next
+                    jax.random.fold_in(batch["noise_key"], self.n_agents),
+                    u_next,
                 )
             )
         noise = jnp.clip(

@@ -145,7 +145,10 @@ def main():
     )
     args = p.parse_args()
 
-    if args.discrete_action and args.algo not in ("maddpg", "ddpg", "matd3", "mappo"):
+    if args.discrete_action and args.algo not in (
+        "maddpg", "ddpg", "matd3", "mappo",
+        "qmix", "vdn", "rqmix", "rvdn",  # discrete already implied: no-op
+    ):
         raise SystemExit(
             "--discrete-action is supported by maddpg/ddpg/matd3 (the v2 "
             "gumbel-softmax path) and mappo (categorical head); qmix/vdn "
