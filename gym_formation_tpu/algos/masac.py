@@ -21,7 +21,14 @@ import flax.linen as nn
 from flax import struct
 
 from ..env import FormationEnv
-from ..models.networks import MLP, orthogonal_init
+from ..models.networks import (
+    MLP,
+    LogitsActor,
+    categorical_logp,
+    gumbel_softmax_st,
+    onehot_from_logits,
+    orthogonal_init,
+)
 from .maddpg import ReplayBuffer
 from .matd3 import TwinQCritic
 
@@ -97,8 +104,17 @@ class MASAC:
         self.n_agents = env.num_agents
         self.obs_dim = env.scenario.obs_dim
         self.act_dim = env.act_dim
-        self.target_entropy = -float(self.act_dim)
-        self.actor = SquashedGaussianActor(self.act_dim, cfg.high_action, cfg.hidden)
+        # discrete: gumbel-softmax SAC (the offpolicy package's discrete
+        # masac path); target entropy 0.98·log|A| per SAC-discrete convention
+        self.discrete = bool(env.discrete_action and not env.discrete_action_input)
+        if self.discrete:
+            self.target_entropy = 0.98 * float(jnp.log(self.act_dim))
+            self.actor = LogitsActor(self.act_dim, cfg.hidden)
+        else:
+            self.target_entropy = -float(self.act_dim)
+            self.actor = SquashedGaussianActor(
+                self.act_dim, cfg.high_action, cfg.hidden
+            )
         self.critic = TwinQCritic(cfg.high_action, cfg.hidden)
         self.actor_tx = optax.adam(cfg.lr)
         self.critic_tx = optax.adam(cfg.lr)
@@ -106,6 +122,18 @@ class MASAC:
 
     def _actor_all(self, params, obs):
         return jax.vmap(self.actor.apply, in_axes=(0, -2), out_axes=-2)(params, obs)
+
+    def _policy_sample(self, key, dist):
+        """Reparameterized sample + log-prob: tanh-Gaussian (continuous) or
+        straight-through gumbel-softmax one-hot (discrete — ∂a/∂logits flows
+        through the softmax relaxation; logp is the categorical mass of the
+        sampled action, differentiable in the logits)."""
+        if self.discrete:
+            a = gumbel_softmax_st(key, dist)
+            logp = categorical_logp(dist, jax.lax.stop_gradient(a))
+            return a, logp
+        mean, log_std = dist
+        return sample_squashed(key, mean, log_std, self.cfg.high_action)
 
     def init(self, key: Array):
         cfg = self.cfg
@@ -146,12 +174,15 @@ class MASAC:
     def explore_actions(self, ts: MASACState, obs: Array, key) -> Array:
         """Sample from the policy; uniform random during warmup."""
         k_s, k_u = jax.random.split(key)
-        mean, log_std = self._actor_all(ts.actor_params, obs)
-        ks = jax.random.fold_in(k_s, 0)
-        a, _ = sample_squashed(ks, mean, log_std, self.cfg.high_action)
-        uniform = jax.random.uniform(
-            k_u, a.shape, a.dtype, -self.cfg.high_action, self.cfg.high_action
-        )
+        dist = self._actor_all(ts.actor_params, obs)
+        a, _ = self._policy_sample(jax.random.fold_in(k_s, 0), dist)
+        if self.discrete:
+            rand_idx = jax.random.randint(k_u, a.shape[:-1], 0, self.act_dim)
+            uniform = jax.nn.one_hot(rand_idx, self.act_dim, dtype=a.dtype)
+        else:
+            uniform = jax.random.uniform(
+                k_u, a.shape, a.dtype, -self.cfg.high_action, self.cfg.high_action
+            )
         warm = ts.env_steps < self.cfg.warmup_random_steps
         return jnp.where(warm, uniform, a)
 
@@ -170,11 +201,11 @@ class MASAC:
         )
         k_next, k_new = jax.random.split(key)
         # next actions from the *current* actors (SAC), with entropy term
-        mean_n, lstd_n = self._actor_all(actor_params, batch["next_obs"])
-        a_next, logp_next = sample_squashed(k_next, mean_n, lstd_n, cfg.high_action)
+        dist_n = self._actor_all(actor_params, batch["next_obs"])
+        a_next, logp_next = self._policy_sample(k_next, dist_n)
         un_all = a_next.reshape(M, -1)
-        mean_c, lstd_c = self._actor_all(actor_params, batch["obs"])
-        a_new, logp_new = sample_squashed(k_new, mean_c, lstd_c, cfg.high_action)
+        dist_c = self._actor_all(actor_params, batch["obs"])
+        a_new, logp_new = self._policy_sample(k_new, dist_c)
 
         def per_agent(i, cparams_i, tcparams_i):
             q1n, q2n = self.critic.apply(tcparams_i, on_all, un_all)
@@ -287,5 +318,7 @@ class MASAC:
         return ts, buffer, env_state, obs, metrics
 
     def eval_actions(self, ts: MASACState, obs: Array) -> Array:
-        mean, _ = self._actor_all(ts.actor_params, obs)
-        return jnp.tanh(mean) * self.cfg.high_action
+        dist = self._actor_all(ts.actor_params, obs)
+        if self.discrete:
+            return onehot_from_logits(dist)
+        return jnp.tanh(dist[0]) * self.cfg.high_action

@@ -146,12 +146,12 @@ def main():
     args = p.parse_args()
 
     if args.discrete_action and args.algo not in (
-        "maddpg", "ddpg", "matd3", "mappo",
+        "maddpg", "ddpg", "matd3", "masac", "mappo",
         "qmix", "vdn", "rqmix", "rvdn",  # discrete already implied: no-op
     ):
         raise SystemExit(
-            "--discrete-action is supported by maddpg/ddpg/matd3 (the v2 "
-            "gumbel-softmax path) and mappo (categorical head); qmix/vdn "
+            "--discrete-action is supported by maddpg/ddpg/matd3/masac (the "
+            "gumbel-softmax paths) and mappo (categorical head); qmix/vdn "
             "variants are discrete by default"
         )
 
