@@ -24,13 +24,7 @@ import optax
 from flax import struct
 
 from ..env import FormationEnv
-from ..models.networks import (
-    GRUCritic,
-    GRUPolicy,
-    gaussian_entropy,
-    gaussian_logp,
-    gaussian_sample,
-)
+from ..models.networks import GRUCritic, GRUPolicy
 from .mappo import MAPPO, MAPPOConfig, MAPPOState, ValueNorm, huber
 
 Array = jnp.ndarray
@@ -57,7 +51,8 @@ class RMAPPO(MAPPO):
     ):
         super().__init__(env, cfg, num_envs)
         assert cfg.rollout_len % cfg.data_chunk_length == 0
-        self.actor = GRUPolicy(self.act_dim, cfg.gru_hidden)
+        # self.discrete set by MAPPO.__init__; the GRU policy switches heads
+        self.actor = GRUPolicy(self.act_dim, cfg.gru_hidden, discrete=self.discrete)
         self.critic = GRUCritic(cfg.gru_hidden)
 
     def init(self, key: Array):
@@ -95,10 +90,13 @@ class RMAPPO(MAPPO):
     def act(self, params, obs, carry: RunnerCarry, key=None, deterministic=True):
         """Recurrent action selection for eval: returns (actions, new carry)."""
         reset_n = jnp.broadcast_to(carry.done_prev[:, None], obs.shape[:2])
-        h_a, (mean, log_std) = self.actor.apply(
+        h_a, dist = self.actor.apply(
             params["actor"], carry.h_actor, obs, reset_n
         )
-        a = mean if (deterministic or key is None) else gaussian_sample(key, mean, log_std)
+        if deterministic or key is None:
+            a = self._dist_mode(dist)
+        else:
+            a = self._dist_sample(key, dist)
         return a, carry.replace(h_actor=h_a, done_prev=jnp.zeros_like(carry.done_prev))
 
     # -- rollout ------------------------------------------------------------
@@ -114,11 +112,11 @@ class RMAPPO(MAPPO):
             h_c, value = self.critic.apply(
                 ts.params["critic"], carry.h_critic, share_obs, reset
             )
-            h_a, (mean, log_std) = self.actor.apply(
+            h_a, dist = self.actor.apply(
                 ts.params["actor"], carry.h_actor, obs, reset_n
             )
-            action = gaussian_sample(k_act, mean, log_std)
-            logp = gaussian_logp(mean, log_std, action)
+            action = self._dist_sample(k_act, dist)
+            logp = self._dist_logp(dist, action)
             env_state, out = jax.vmap(self.env.step)(env_state, action)
             done = out.done[:, 0]
             traj = {
@@ -156,16 +154,16 @@ class RMAPPO(MAPPO):
             h_a, h_c = c
             obs, sobs, reset = inp["obs"], inp["share_obs"], inp["reset"]
             reset_n = jnp.broadcast_to(reset[:, None], obs.shape[:2])
-            h_a, (mean, log_std) = self.actor.apply(params["actor"], h_a, obs, reset_n)
+            h_a, dist = self.actor.apply(params["actor"], h_a, obs, reset_n)
             h_c, value = self.critic.apply(params["critic"], h_c, sobs, reset)
-            return (h_a, h_c), (mean, log_std, value)
+            return (h_a, h_c), (dist, value)
 
-        (_, _), (mean, log_std, value) = jax.lax.scan(
+        (_, _), (dist, value) = jax.lax.scan(
             scan_net,
             (batch["h_actor0"], batch["h_critic0"]),
             {k: batch[k] for k in ("obs", "share_obs", "reset")},
         )
-        logp = gaussian_logp(mean, log_std, batch["action"])  # [L,m,N]
+        logp = self._dist_logp(dist, batch["action"])  # [L,m,N]
         # clamp the log-ratio: a policy far from the behavior policy after
         # many epochs otherwise overflows exp() into inf/NaN gradients
         ratio = jnp.exp(jnp.clip(logp - batch["logp"], -20.0, 20.0))
@@ -173,7 +171,7 @@ class RMAPPO(MAPPO):
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        entropy = jnp.mean(gaussian_entropy(log_std))
+        entropy = self._dist_entropy(dist)
         target, v_old = batch["target"], batch["value"]
         v_clip = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)
         v_loss = jnp.mean(

@@ -187,20 +187,24 @@ class GRUPolicy(nn.Module):
 
     act_dim: int
     hidden: int = 64
+    discrete: bool = False  # logits head instead of the Gaussian head
 
     @nn.compact
     def __call__(self, carry: Array, obs: Array, reset: Array):
         """One step: carry [., H], obs [., do], reset [.] bool (zeroes the
-        carry at episode starts).  Returns (new_carry, (mean, log_std))."""
+        carry at episode starts).  Returns (new_carry, dist) where dist is
+        (mean, log_std) or, when ``discrete``, per-action logits."""
         x = nn.relu(nn.Dense(self.hidden, kernel_init=orthogonal_init())(obs))
         carry = jnp.where(reset[..., None], 0.0, carry)
         carry, h = nn.GRUCell(self.hidden)(carry, x)
-        mean = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
+        out = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01))(h)
+        if self.discrete:
+            return carry, out
         log_std = self.param(
             "log_std", nn.initializers.constant(0.0), (self.act_dim,)
         )
         log_std = soft_bound(log_std, -5.0, 2.0)
-        return carry, (mean, jnp.broadcast_to(log_std, mean.shape))
+        return carry, (out, jnp.broadcast_to(log_std, out.shape))
 
     def initial_carry(self, batch_shape) -> Array:
         return jnp.zeros(tuple(batch_shape) + (self.hidden,))

@@ -450,3 +450,23 @@ def test_masac_discrete_gumbel_sac():
     assert np.allclose(ev.sum(-1), 1.0) and set(np.unique(ev)) == {0.0, 1.0}
     ex = np.asarray(jax.jit(algo.explore_actions)(ts, obs, jax.random.PRNGKey(5)))
     assert np.allclose(ex.sum(-1), 1.0)
+
+
+def test_rmappo_discrete_recurrent_categorical(key):
+    from gym_formation_tpu.algos import RMAPPO, RMAPPOConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)
+    algo = RMAPPO(
+        env,
+        RMAPPOConfig(rollout_len=10, data_chunk_length=5, ppo_epochs=2),
+        num_envs=8,
+    )
+    assert algo.discrete and algo.actor.discrete
+    ts, es, obs, carry = algo.init(key)
+    for i in range(2):
+        ts, es, obs, carry, m = algo.train_step(ts, es, obs, carry, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["pg_loss"])) and np.isfinite(float(m["entropy"]))
+    a, carry = jax.jit(lambda p, o, c: algo.act(p, o, c))(ts.params, obs, carry)
+    a = np.asarray(a)
+    assert a.shape == (8, 3, 5)
+    assert np.allclose(a.sum(-1), 1.0) and set(np.unique(a)) == {0.0, 1.0}

@@ -146,13 +146,13 @@ def main():
     args = p.parse_args()
 
     if args.discrete_action and args.algo not in (
-        "maddpg", "ddpg", "matd3", "masac", "mappo",
+        "maddpg", "ddpg", "matd3", "masac", "mappo", "rmappo",
         "qmix", "vdn", "rqmix", "rvdn",  # discrete already implied: no-op
     ):
         raise SystemExit(
             "--discrete-action is supported by maddpg/ddpg/matd3/masac (the "
-            "gumbel-softmax paths) and mappo (categorical head); qmix/vdn "
-            "variants are discrete by default"
+            "gumbel-softmax paths) and mappo/rmappo (categorical heads); "
+            "qmix/vdn variants are discrete by default"
         )
 
     kw = {}
