@@ -24,6 +24,7 @@ from ..env import FormationEnv
 from ..models.networks import (
     MLP,
     LogitsActor,
+    categorical_entropy,
     categorical_logp,
     gumbel_softmax_st,
     onehot_from_logits,
@@ -50,6 +51,9 @@ class MASACConfig:
     init_alpha: float = 0.2
     autotune_alpha: bool = True
     mask_done: bool = False  # match the zoo's no-done-mask convention
+    # discrete entropy target = ratio·log|A| (SAC-discrete uses 0.98; that
+    # forces a near-uniform policy on this task — 0.6 learns)
+    target_entropy_ratio: float = 0.6
     steps_per_iter: int = 32
     updates_per_iter: int = 32
     warmup_random_steps: int = 256
@@ -105,10 +109,12 @@ class MASAC:
         self.obs_dim = env.scenario.obs_dim
         self.act_dim = env.act_dim
         # discrete: gumbel-softmax SAC (the offpolicy package's discrete
-        # masac path); target entropy 0.98·log|A| per SAC-discrete convention
+        # masac path), entropy target ratio·log|A| (SAC-discrete convention)
         self.discrete = bool(env.discrete_action and not env.discrete_action_input)
         if self.discrete:
-            self.target_entropy = 0.98 * float(jnp.log(self.act_dim))
+            self.target_entropy = cfg.target_entropy_ratio * float(
+                jnp.log(self.act_dim)
+            )
             self.actor = LogitsActor(self.act_dim, cfg.hidden)
         else:
             self.target_entropy = -float(self.act_dim)
@@ -206,6 +212,15 @@ class MASAC:
         un_all = a_next.reshape(M, -1)
         dist_c = self._actor_all(actor_params, batch["obs"])
         a_new, logp_new = self._policy_sample(k_new, dist_c)
+        if self.discrete:
+            # exact categorical entropy in the soft-value / alpha terms
+            # (SAC-discrete): the single-sample logp estimator has unbounded
+            # variance — once alpha grows, -alpha·logp of a rare sampled
+            # action blows up the critic targets (measured: alpha 0.2 → 1e6,
+            # critic loss → 3e10 over 2M steps). E[logp] = -H is bounded by
+            # log|A| and keeps the temperature feedback loop stable.
+            logp_next = -categorical_entropy(dist_n)
+            logp_new = -categorical_entropy(dist_c)
 
         def per_agent(i, cparams_i, tcparams_i):
             q1n, q2n = self.critic.apply(tcparams_i, on_all, un_all)
