@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import (
     CentralizedQCritic,
     DeterministicActor,
@@ -419,9 +419,12 @@ class MADDPG:
                 epsilon=jnp.maximum(cfg.explore_min, ts.epsilon - decay),
                 env_steps=ts.env_steps + self.num_envs,
             )
-            return (ts, buffer, env_state, obs := out.obs), out.reward.mean()
+            return (ts, buffer, env_state, obs := out.obs), (
+                out.reward.mean(),
+                benchmark_means(out.info),
+            )
 
-        (ts, buffer, env_state, obs), step_rew = jax.lax.scan(
+        (ts, buffer, env_state, obs), (step_rew, bench) = jax.lax.scan(
             env_step,
             (ts, buffer, env_state, obs),
             jax.random.split(key, cfg.steps_per_iter),
@@ -463,6 +466,7 @@ class MADDPG:
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["mean_step_reward"] = step_rew.mean()
         metrics["buffer_size"] = buffer.size
+        metrics.update({k: v.mean() for k, v in bench.items()})
         return ts, buffer, env_state, obs, metrics
 
     def eval_actions(self, ts: MADDPGState, obs: Array) -> Array:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import (
     GaussianActor,
     LogitsActor,
@@ -240,18 +240,26 @@ class MAPPO:
                 "action": action,
                 "logp": logp,
                 "value": value,
-                "reward": out.reward[:, 0],  # shared reward, env-level
+                # env-level reward: agent 0's entry when the scenario shares
+                # the reward (all entries identical), the agent mean otherwise
+                # — a custom non-collaborative scenario must not silently
+                # train every agent on agent 0's reward
+                "reward": (
+                    out.reward[:, 0]
+                    if self.env.shared_reward
+                    else out.reward.mean(axis=1)
+                ),
                 "done": out.done[:, 0],
             }
-            return (env_state, out.obs, key), traj
+            return (env_state, out.obs, key), (traj, benchmark_means(out.info))
 
-        (env_state, obs, key), traj = jax.lax.scan(
+        (env_state, obs, key), (traj, bench) = jax.lax.scan(
             step_fn, (env_state, obs, key), None, length=self.cfg.rollout_len
         )
         last_value = self._apply_critic(
             ts.params["critic"], obs.reshape(B, N * self.obs_dim)
         )
-        return env_state, obs, traj, last_value
+        return env_state, obs, traj, bench, last_value
 
     def _gae(self, ts: MAPPOState, traj, last_value):
         """GAE over the scan axis, in *raw* return space (values are stored in
@@ -354,7 +362,9 @@ class MAPPO:
         """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
         cfg = self.cfg
         k_roll, k_upd = jax.random.split(key)
-        env_state, obs, traj, last_value = self._collect(ts, env_state, obs, k_roll)
+        env_state, obs, traj, bench, last_value = self._collect(
+            ts, env_state, obs, k_roll
+        )
         adv, returns = self._gae(ts, traj, last_value)
 
         vn = ts.value_norm
@@ -378,5 +388,6 @@ class MAPPO:
         }
         ts, metrics = self._update(ts, data, k_upd)
         metrics["mean_step_reward"] = jnp.mean(traj["reward"])
+        metrics.update({k: v.mean() for k, v in bench.items()})
         ts = ts.replace(update_i=ts.update_i + 1)
         return ts, env_state, obs, metrics

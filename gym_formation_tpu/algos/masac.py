@@ -20,7 +20,7 @@ import optax
 import flax.linen as nn
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import (
     MLP,
     LogitsActor,
@@ -302,9 +302,12 @@ class MASAC:
             next_obs = out.info.get("terminal_obs", out.obs)
             buffer = buffer.insert(obs, actions, out.reward, next_obs, out.done[:, 0])
             ts = ts.replace(env_steps=ts.env_steps + self.num_envs)
-            return (ts, buffer, env_state, out.obs), out.reward.mean()
+            return (ts, buffer, env_state, out.obs), (
+                out.reward.mean(),
+                benchmark_means(out.info),
+            )
 
-        (ts, buffer, env_state, obs), step_rew = jax.lax.scan(
+        (ts, buffer, env_state, obs), (step_rew, bench) = jax.lax.scan(
             env_step,
             (ts, buffer, env_state, obs),
             jax.random.split(key, cfg.steps_per_iter),
@@ -330,6 +333,7 @@ class MASAC:
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["mean_step_reward"] = step_rew.mean()
         metrics["buffer_size"] = buffer.size
+        metrics.update({k: v.mean() for k, v in bench.items()})
         return ts, buffer, env_state, obs, metrics
 
     def eval_actions(self, ts: MASACState, obs: Array) -> Array:

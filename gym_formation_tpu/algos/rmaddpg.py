@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import GRUPolicy
 from .matd3 import TwinQCritic
 from ..models.networks import CentralizedQCritic
@@ -207,9 +207,11 @@ class RMADDPG:
             noise = ts.noise * self.cfg.high_action * jax.random.normal(k, act.shape)
             act = jnp.clip(act + noise, -self.cfg.high_action, self.cfg.high_action)
             env_state, out = jax.vmap(self.env.step)(env_state, act)
-            return (env_state, out.obs, h, jnp.zeros_like(reset)), (obs, act, out.reward)
+            return (env_state, out.obs, h, jnp.zeros_like(reset)), (
+                obs, act, out.reward, benchmark_means(out.info)
+            )
 
-        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq) = jax.lax.scan(
+        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq, bench) = jax.lax.scan(
             step_fn,
             (env_state, obs0, h0, jnp.ones((B,), bool)),
             jax.random.split(k_roll, self.T),
@@ -218,7 +220,12 @@ class RMADDPG:
         obs_full = jnp.concatenate(
             [obs_seq.swapaxes(0, 1), last_obs[:, None]], axis=1
         )  # [B, T+1, N, do]
-        return obs_full, act_seq.swapaxes(0, 1), rew_seq.swapaxes(0, 1)
+        return (
+            obs_full,
+            act_seq.swapaxes(0, 1),
+            rew_seq.swapaxes(0, 1),
+            {k: v.mean() for k, v in bench.items()},
+        )
 
     # -- update --------------------------------------------------------------
     def _losses(self, actor_params, critic_params, ts, batch, key):
@@ -319,7 +326,7 @@ class RMADDPG:
 
         def collect(carry, k):
             ts, buffer = carry
-            obs, act, rew = self._collect_episodes(ts, k)
+            obs, act, rew, bench = self._collect_episodes(ts, k)
             buffer = buffer.insert(obs, act, rew)
             ts = ts.replace(
                 noise=jnp.maximum(
@@ -327,9 +334,9 @@ class RMADDPG:
                 ),
                 env_steps=ts.env_steps + self.num_envs * self.T,
             )
-            return (ts, buffer), rew.mean()
+            return (ts, buffer), (rew.mean(), bench)
 
-        (ts, buffer), rews = jax.lax.scan(
+        (ts, buffer), (rews, bench) = jax.lax.scan(
             collect, (ts, buffer), jax.random.split(key, cfg.episodes_per_iter)
         )
 
@@ -353,6 +360,7 @@ class RMADDPG:
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["mean_step_reward"] = rews.mean()
         metrics["buffer_episodes"] = buffer.size
+        metrics.update({k: v.mean() for k, v in bench.items()})
         return ts, buffer, metrics
 
     def eval_actions_episode(self, ts: RMADDPGState, obs_seq):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import GRUCritic, GRUPolicy
 from .mappo import MAPPO, MAPPOConfig, MAPPOState, ValueNorm, huber
 
@@ -125,16 +125,25 @@ class RMAPPO(MAPPO):
                 "action": action,
                 "logp": logp,
                 "value": value,
-                "reward": out.reward[:, 0],
+                # env-level reward (mean when the scenario is non-collaborative
+                # — see MAPPO._collect)
+                "reward": (
+                    out.reward[:, 0]
+                    if self.env.shared_reward
+                    else out.reward.mean(axis=1)
+                ),
                 "done": done,
                 "reset": reset,  # hidden-reset flag used at this step
                 "h_actor": carry.h_actor,  # pre-step carries (chunk inits)
                 "h_critic": carry.h_critic,
             }
             new_carry = RunnerCarry(h_actor=h_a, h_critic=h_c, done_prev=done)
-            return (env_state, obs := out.obs, new_carry, key), traj
+            return (env_state, obs := out.obs, new_carry, key), (
+                traj,
+                benchmark_means(out.info),
+            )
 
-        (env_state, obs, carry, key), traj = jax.lax.scan(
+        (env_state, obs, carry, key), (traj, bench) = jax.lax.scan(
             step_fn, (env_state, obs, carry, key), None, length=self.cfg.rollout_len
         )
         _, last_value = self.critic.apply(
@@ -143,7 +152,7 @@ class RMAPPO(MAPPO):
             obs.reshape(B, N * self.obs_dim),
             carry.done_prev,
         )
-        return env_state, obs, carry, traj, last_value
+        return env_state, obs, carry, traj, bench, last_value
 
     # -- recurrent loss over one BPTT chunk ---------------------------------
     def _loss(self, params, batch, vn):
@@ -250,7 +259,7 @@ class RMAPPO(MAPPO):
     def train_step(self, ts, env_state, obs, carry: RunnerCarry, key):
         cfg = self.cfg
         k_roll, k_upd = jax.random.split(key)
-        env_state, obs, carry, traj, last_value = self._collect_recurrent(
+        env_state, obs, carry, traj, bench, last_value = self._collect_recurrent(
             ts, env_state, obs, carry, k_roll
         )
         adv, returns = self._gae(ts, traj, last_value)
@@ -267,5 +276,6 @@ class RMAPPO(MAPPO):
         data["target"] = target
         ts, metrics = self._update_recurrent(ts, data, k_upd)
         metrics["mean_step_reward"] = jnp.mean(traj["reward"])
+        metrics.update({k: v.mean() for k, v in bench.items()})
         ts = ts.replace(update_i=ts.update_i + 1)
         return ts, env_state, obs, carry, metrics

@@ -20,7 +20,7 @@ import optax
 import flax.linen as nn
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import orthogonal_init
 from .masac import LOG_STD_MAX, LOG_STD_MIN, sample_squashed as _sample_squashed
 from .matd3 import TwinQCritic
@@ -166,15 +166,22 @@ class RMASAC:
             h, (mean, log_std) = self._actor_step(ts.actor_params, h, obs, reset)
             act, _ = _sample_squashed(k, mean, log_std, self.cfg.high_action)
             env_state, out = jax.vmap(self.env.step)(env_state, act)
-            return (env_state, out.obs, h, jnp.zeros_like(reset)), (obs, act, out.reward)
+            return (env_state, out.obs, h, jnp.zeros_like(reset)), (
+                obs, act, out.reward, benchmark_means(out.info)
+            )
 
-        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq) = jax.lax.scan(
+        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq, bench) = jax.lax.scan(
             step_fn,
             (env_state, obs0, h0, jnp.ones((B,), bool)),
             jax.random.split(k_roll, self.T),
         )
         obs_full = jnp.concatenate([obs_seq.swapaxes(0, 1), last_obs[:, None]], axis=1)
-        return obs_full, act_seq.swapaxes(0, 1), rew_seq.swapaxes(0, 1)
+        return (
+            obs_full,
+            act_seq.swapaxes(0, 1),
+            rew_seq.swapaxes(0, 1),
+            {k: v.mean() for k, v in bench.items()},
+        )
 
     def _losses(self, params, ts: RMASACState, batch, key):
         cfg = self.cfg
@@ -272,12 +279,12 @@ class RMASAC:
 
         def collect(carry, k):
             ts, buffer = carry
-            obs, act, rew = self._collect_episodes(ts, k)
+            obs, act, rew, bench = self._collect_episodes(ts, k)
             buffer = buffer.insert(obs, act, rew)
             ts = ts.replace(env_steps=ts.env_steps + self.num_envs * self.T)
-            return (ts, buffer), rew.mean()
+            return (ts, buffer), (rew.mean(), bench)
 
-        (ts, buffer), rews = jax.lax.scan(
+        (ts, buffer), (rews, bench) = jax.lax.scan(
             collect, (ts, buffer), jax.random.split(key, cfg.episodes_per_iter)
         )
 
@@ -301,4 +308,5 @@ class RMASAC:
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["mean_step_reward"] = rews.mean()
         metrics["buffer_episodes"] = buffer.size
+        metrics.update({k: v.mean() for k, v in bench.items()})
         return ts, buffer, metrics

@@ -22,7 +22,7 @@ import optax
 import flax.linen as nn
 from flax import struct
 
-from ..env import FormationEnv
+from ..env import FormationEnv, benchmark_means
 from ..models.networks import MLP, orthogonal_init
 from .qmix import QMixer
 from .rmaddpg import EpisodeBuffer
@@ -185,15 +185,22 @@ class RQMix:
             )
             act = jax.nn.one_hot(pick, self.N_ACTIONS, dtype=obs.dtype)
             env_state, out = jax.vmap(self.env.step)(env_state, act)
-            return (env_state, out.obs, h, jnp.zeros_like(reset)), (obs, act, out.reward)
+            return (env_state, out.obs, h, jnp.zeros_like(reset)), (
+                obs, act, out.reward, benchmark_means(out.info)
+            )
 
-        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq) = jax.lax.scan(
+        (_, last_obs, _, _), (obs_seq, act_seq, rew_seq, bench) = jax.lax.scan(
             step_fn,
             (env_state, obs0, h0, jnp.ones((B,), bool)),
             jax.random.split(k_roll, self.T),
         )
         obs_full = jnp.concatenate([obs_seq.swapaxes(0, 1), last_obs[:, None]], axis=1)
-        return obs_full, act_seq.swapaxes(0, 1), rew_seq.swapaxes(0, 1)
+        return (
+            obs_full,
+            act_seq.swapaxes(0, 1),
+            rew_seq.swapaxes(0, 1),
+            {k: v.mean() for k, v in bench.items()},
+        )
 
     def _mix(self, mixer_params, q_chosen, state):
         if self.cfg.mixer == "qmix":
@@ -259,12 +266,12 @@ class RQMix:
 
         def collect(carry, k):
             ts, buffer = carry
-            obs, act, rew = self._collect_episodes(ts, k)
+            obs, act, rew, bench = self._collect_episodes(ts, k)
             buffer = buffer.insert(obs, act, rew)
             ts = ts.replace(env_steps=ts.env_steps + self.num_envs * self.T)
-            return (ts, buffer), rew.mean()
+            return (ts, buffer), (rew.mean(), bench)
 
-        (ts, buffer), rews = jax.lax.scan(
+        (ts, buffer), (rews, bench) = jax.lax.scan(
             collect, (ts, buffer), jax.random.split(key, cfg.episodes_per_iter)
         )
 
@@ -285,4 +292,5 @@ class RQMix:
         metrics["mean_step_reward"] = rews.mean()
         metrics["epsilon"] = self.epsilon(ts)
         metrics["buffer_episodes"] = buffer.size
+        metrics.update({k: v.mean() for k, v in bench.items()})
         return ts, buffer, metrics

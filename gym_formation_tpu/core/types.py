@@ -75,6 +75,12 @@ class WorldCfg:
     u_noise: np.ndarray = None  # [n_agents], 0 where unset
     c_noise: np.ndarray = None  # [n_agents], 0 where unset
     silent: np.ndarray = None  # [n_agents] bool
+    # Control sensitivity applied by the env action decode BEFORE the physics'
+    # own act_coef factor (reference ``environment.py:218-221``: 5.0 unless the
+    # agent sets ``accel``, in which case accel is applied twice — once here,
+    # once in ``apply_action_force``).  [n_agents]; None → the env falls back
+    # to the accel-derived rule for hand-built configs.
+    sensitivity: np.ndarray = None
     u_range: float = 1.0
     walls: Tuple[WallCfg, ...] = ()
     # Native mode guards the 0/0 at zero separation (known NaN in the
@@ -126,6 +132,9 @@ def make_world_cfg(
     mass = np.ones(e)
     accel = 1.0 if agent_accel is None else agent_accel
     act_coef = mass[:n_agents] * accel
+    # explicit, not inferred: 5.0 when accel is unset (the reference default),
+    # else accel (environment.py:218-221)
+    sensitivity = fill(n_agents, 5.0 if agent_accel is None else agent_accel)
     max_speed = np.full(e, np.inf)
     if agent_max_speed is not None:
         max_speed[:n_agents] = agent_max_speed
@@ -141,6 +150,7 @@ def make_world_cfg(
         u_noise=np.zeros(n_agents),
         c_noise=np.zeros(n_agents),
         silent=np.full(n_agents, silent),
+        sensitivity=sensitivity,
         **kw,
     )
 

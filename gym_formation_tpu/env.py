@@ -35,6 +35,19 @@ _DISCRETE_MOVES = np.array(
     [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
 )
 
+# The benchmark_data quartet (``envs/formation_hd_env.py:97-117``).
+BENCHMARK_KEYS = ("reward", "collisions", "min_dists", "occupied_landmarks")
+
+
+def benchmark_means(info: dict) -> dict:
+    """Scalar means of the benchmark quartet present in a step's ``info``
+    (populated when the env was built with ``benchmark=True``) under
+    ``bench_*`` keys — the training-time equivalent of the reference's
+    ``make_env(benchmark=True)`` info_callback instrumentation
+    (``formation_gym/__init__.py:13-14``).  Empty dict otherwise, so collect
+    loops can thread it unconditionally."""
+    return {f"bench_{k}": jnp.mean(info[k]) for k in BENCHMARK_KEYS if k in info}
+
 
 class FormationEnv:
     """One formation-control environment as a pair of pure functions.
@@ -79,8 +92,13 @@ class FormationEnv:
         # sensitivity = accel if set else 5.0, applied to the control before
         # the physics' own mass*(accel or 1) factor (``environment.py:218-221``
         # — the reference double-applies accel; scenarios here never set it).
-        accel = cfg.act_coef / cfg.mass[:n]
-        self._sensitivity = np.where(np.isclose(accel, 1.0), 5.0, accel)
+        # Explicit in WorldCfg; the accel-derived fallback only serves
+        # hand-built configs predating the field.
+        if cfg.sensitivity is not None:
+            self._sensitivity = np.asarray(cfg.sensitivity)
+        else:
+            accel = cfg.act_coef / cfg.mass[:n]
+            self._sensitivity = np.where(np.isclose(accel, 1.0), 5.0, accel)
         self._all_silent = bool(np.all(cfg.silent))
 
         # Spaces (``environment.py:56-96``).
@@ -236,9 +254,34 @@ class VecFormationEnv:
             jax.vmap(env.step), out_shardings=sharding, **donate
         )
 
+        def _choose(state, obs, keys, choose):
+            fresh_state, fresh_obs = jax.vmap(env.reset)(keys)
+            sel = lambda a, b: jnp.where(
+                choose.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            )
+            return jax.tree.map(sel, fresh_state, state), sel(fresh_obs, obs)
+
+        # no donation: callers routinely keep the pre-reset state/obs around
+        # (e.g. to log terminal stats), and this is not a hot path
+        self._reset_choose = jax.jit(_choose, out_shardings=sharding)
+
     def reset(self, key: Array):
         keys = jax.random.split(key, self.num_envs)
         return self._reset(keys)
+
+    def reset_choose(self, state, obs, key: Array, choose):
+        """Selectively re-draw fresh episodes for envs where ``choose`` is
+        True, leaving the rest untouched — the Choose* vec-env capability
+        (``train/maddpg-v4/wrapper.py:225-486`` ``reset_choose``), as one
+        jitted select instead of per-worker pipe commands.
+
+        Args:
+          state, obs: current batched env state and observations.
+          key: PRNG key (split per env; only chosen envs consume theirs).
+          choose: [num_envs] bool mask.
+        Returns ``(state, obs)`` with chosen envs freshly reset."""
+        keys = jax.random.split(key, self.num_envs)
+        return self._reset_choose(state, obs, keys, jnp.asarray(choose))
 
     def step(self, state, actions: Array):
         """state, actions [B, N, act_dim] → (state, StepOut batched)."""

@@ -74,6 +74,7 @@ class GymMultiAgentEnv:
                 auto_reset=False,
                 discrete_action=env.discrete_action,
                 discrete_action_input=env.discrete_action_input,
+                force_discrete_action=env.force_discrete_action,
             )
         self._env = env
         self.num_agents = env.num_agents

@@ -426,7 +426,8 @@ def test_mappo_discrete_separated_policy(key):
 
 def test_masac_discrete_gumbel_sac():
     """Discrete env → gumbel-softmax SAC: one-hot actions, positive target
-    entropy (0.98·log|A|), finite losses, alpha autotunes."""
+    entropy (0.6·log|A|, the shipped target_entropy_ratio), finite losses,
+    alpha autotunes."""
     from gym_formation_tpu.algos import MASAC, MASACConfig
 
     env = ft.make_env("formation_hd_env", num_agents=3, discrete_action=True)

@@ -137,3 +137,60 @@ def test_rollout_stateonly_matches_rollout(key):
         np.asarray(outs.reward), np.asarray(rewards), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-5)
+
+
+def test_reset_choose_selective(key):
+    """reset_choose resets exactly the chosen envs — the Choose* vec-env
+    capability (maddpg-v4/wrapper.py:225-486 reset_choose)."""
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    vec = ft.VecFormationEnv(env, num_envs=4)
+    state, obs = vec.reset(key)
+    for i in range(5):
+        state, out = vec.step(state, vec.sample_actions(jax.random.PRNGKey(i)))
+        obs = out.obs
+    assert np.all(np.asarray(state.t) == 5)
+    choose = jnp.array([True, False, True, False])
+    new_state, new_obs = vec.reset_choose(state, obs, jax.random.PRNGKey(7), choose)
+    t = np.asarray(new_state.t)
+    assert t[0] == 0 and t[2] == 0 and t[1] == 5 and t[3] == 5
+    # unchosen envs keep their exact state/obs; chosen envs are fresh
+    assert np.array_equal(np.asarray(new_obs[1]), np.asarray(obs[1]))
+    assert np.array_equal(np.asarray(new_obs[3]), np.asarray(obs[3]))
+    assert not np.array_equal(np.asarray(new_obs[0]), np.asarray(obs[0]))
+    assert np.array_equal(
+        np.asarray(new_state.pos[1]), np.asarray(state.pos[1])
+    )
+
+
+def test_benchmark_quartet_in_train_metrics(key):
+    """benchmark=True envs surface the benchmark_data quartet means in every
+    algorithm train_step's metrics (reference make_env(benchmark=True)
+    info_callback wiring, formation_gym/__init__.py:13-14)."""
+    from gym_formation_tpu.algos import MAPPO, MAPPOConfig, MADDPG, MADDPGConfig
+
+    env = ft.make_env("formation_hd_env", num_agents=3, benchmark=True)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=4, ppo_epochs=1), num_envs=4)
+    ts, es, obs = algo.init(key)
+    ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(1))
+    for k in ("bench_reward", "bench_collisions", "bench_min_dists",
+              "bench_occupied_landmarks"):
+        assert k in m and np.isfinite(float(m[k])), k
+
+    algo2 = MADDPG(
+        env,
+        MADDPGConfig(buffer_size=512, steps_per_iter=4, updates_per_iter=2,
+                     batch_size=32),
+        num_envs=4,
+    )
+    ts2, buf, es2, obs2 = algo2.init(key)
+    ts2, buf, es2, obs2, m2 = algo2.train_step(
+        ts2, buf, es2, obs2, jax.random.PRNGKey(2)
+    )
+    assert "bench_collisions" in m2 and np.isfinite(float(m2["bench_collisions"]))
+
+    # benchmark=False envs add nothing
+    env0 = ft.make_env("formation_hd_env", num_agents=3)
+    algo0 = MAPPO(env0, MAPPOConfig(rollout_len=4, ppo_epochs=1), num_envs=4)
+    ts0, es0, obs0 = algo0.init(key)
+    _, _, _, m0 = algo0.train_step(ts0, es0, obs0, jax.random.PRNGKey(1))
+    assert not any(k.startswith("bench_") for k in m0)
