@@ -35,6 +35,12 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
     p.add_argument(
+        "--mesh", type=int, default=None, metavar="DP",
+        help="shard the env batch data-parallel over DP devices (rollouts "
+        "have zero cross-device traffic, so this is the weak-scaling axis); "
+        "default: single default device",
+    )
+    p.add_argument(
         "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
         default="ezpolicy",
         help="ezpolicy (default): scripted policy consuming the observations "
@@ -118,6 +124,15 @@ def main():
     else:
         reset = jax.jit(jax.vmap(env.reset))
         state, obs = reset(jax.random.split(key, B))
+
+    if args.mesh:
+        from gym_formation_tpu.parallel import make_mesh, shard_batch
+
+        assert B % args.mesh == 0, (B, args.mesh)
+        mesh = make_mesh((args.mesh,), ("data",), devices=jax.devices()[: args.mesh])
+        state = shard_batch(state, mesh)
+        if obs is not None:
+            obs = shard_batch(obs, mesh)
 
     # warmup/compile
     state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))

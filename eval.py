@@ -3,11 +3,17 @@
 (``train/maddpg-v2/evaluate.py:14-81`` model rollout + GIF;
 ``train/maddpg-v5/render.py``; ``train/mappo/inbox/render_formation.py``),
 plus the hierarchical trick the reference only documents for the scripted
-policy: a trained n-agent MAPPO actor expanded over n^L agents with
-``--num-layer`` (``README.md:31-51``).
+policy: a trained n-agent actor expanded over n^L agents with ``--num-layer``
+(``README.md:31-51``).
+
+Any of the 13 training algorithms' checkpoints can be evaluated: pass the
+``--algo`` it was trained with and the registry restores the right actor
+(recurrent families thread their GRU carries through the episode).
 
 Examples:
-    python eval.py --ckpt runs/<run>/ckpt --episodes 5 --gif eval.gif
+    python eval.py --algo mappo --ckpt runs/<run>/ckpt --episodes 5 --gif out.gif
+    python eval.py --algo rmappo --ckpt runs/<run>/ckpt
+    python eval.py --algo qmix --ckpt runs/<run>/ckpt --gif qmix.gif
     python eval.py --policy ezpolicy --num-agents 3 --num-layer 2
 """
 
@@ -22,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 import gym_formation_tpu as ft
-from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+from gym_formation_tpu.algos.registry import (
+    ALGO_NAMES,
+    DISCRETE_ONLY,
+    RECURRENT,
+    eval_policy,
+    make_algo,
+)
 from gym_formation_tpu.render import render_state, save_gif
 from gym_formation_tpu.utils import restore_raw
 
@@ -33,6 +45,10 @@ def main():
     p.add_argument("--num-agents", type=int, default=3, help="policy arity n")
     p.add_argument("--num-layer", type=int, default=1, help="BFS hierarchy depth")
     p.add_argument("--policy", choices=["ckpt", "ezpolicy"], default="ezpolicy")
+    p.add_argument(
+        "--algo", choices=list(ALGO_NAMES), default="mappo",
+        help="algorithm the checkpoint was trained with (--policy ckpt)",
+    )
     p.add_argument("--ckpt", default=None, help="checkpoint dir from train.py")
     p.add_argument("--episodes", type=int, default=3)
     p.add_argument("--episode-length", type=int, default=None)
@@ -41,17 +57,32 @@ def main():
     p.add_argument(
         "--discrete-action", action="store_true",
         help="checkpoint was trained with train.py --discrete-action "
-        "(one-hot action env, logits actor)",
+        "(one-hot action env; implied for qmix/vdn variants)",
     )
     args = p.parse_args()
 
     n = args.num_agents
     total = n**args.num_layer
-    if args.discrete_action and args.num_layer > 1:
+    discrete = args.discrete_action or (
+        args.policy == "ckpt" and args.algo in DISCRETE_ONLY
+    )
+    if discrete and args.num_layer > 1:
         raise SystemExit(
             "--num-layer > 1 needs continuous velocity actions (the BFS "
             "hierarchy feeds target velocities to sub-groups); discrete "
             "policies can't be BFS-expanded"
+        )
+    if args.discrete_action and args.policy != "ckpt":
+        raise SystemExit(
+            "--discrete-action only applies to trained checkpoints "
+            "(--policy ckpt): the scripted policies emit 2-dim velocities, "
+            "not 5-way one-hots"
+        )
+    if args.num_layer > 1 and args.policy == "ckpt" and args.algo != "mappo":
+        raise SystemExit(
+            "--num-layer > 1 with a checkpoint requires a shared stateless "
+            "actor (mappo): per-agent stacked actors have no meta-agent "
+            "assignment and recurrent actors have no per-group hidden state"
         )
     kw = {}
     if args.episode_length is not None:
@@ -59,33 +90,27 @@ def main():
         kw[name] = args.episode_length
     env = ft.make_env(
         args.scenario, num_agents=total, benchmark=True, auto_reset=False,
-        discrete_action=args.discrete_action, **kw
+        discrete_action=discrete, **kw
     )
 
+    carry0 = None
     if args.policy == "ckpt":
         assert args.ckpt, "--ckpt required with --policy ckpt"
-        # restore into a skeleton built from a same-arity MAPPO
+        # skeleton from a same-arity algo; only the actor params are consumed,
+        # so the checkpoint's env-batch/buffer shapes don't matter
         proto_env = ft.make_env(
-            args.scenario, num_agents=n,
-            discrete_action=args.discrete_action, **kw
+            args.scenario, num_agents=n, discrete_action=discrete, **kw
         )
-        algo = MAPPO(proto_env, MAPPOConfig(), num_envs=1)
-        # raw restore: the checkpoint's env-batch shapes are unknown here and
-        # only the policy params are needed
+        algo = make_algo(args.algo, proto_env, num_envs=1)
         raw = restore_raw(args.ckpt)
         ts_raw = raw[0] if isinstance(raw, (list, tuple)) else raw["ts"]
-        actor_params = ts_raw["params"]["actor"]
+        # batch dim 1: the single-env loop wraps obs as [1, N, do]
+        ckpt_policy, carry0 = eval_policy(args.algo, algo, ts_raw, batch_size=1)
 
         def base_policy(obs_batch):
-            if args.discrete_action:
-                from gym_formation_tpu.models.networks import onehot_from_logits
-
-                return onehot_from_logits(algo.actor.apply(actor_params, obs_batch))
-            mean, _ = algo.actor.apply(actor_params, obs_batch)
-            # clip to the control range like the reference agents do
-            # (maddpg-v1/agent.py:22); unbounded means explode through the
-            # hierarchical tar_vel feedback when BFS-expanded
-            return jnp.clip(mean, -1.0, 1.0)
+            # stateless shared-actor path used by the BFS expansion
+            a, _ = ckpt_policy(obs_batch[None], None)
+            return a[0]
 
     elif args.scenario == "formation_hd_env":
         base_policy = ft.ezpolicy_batched
@@ -101,24 +126,34 @@ def main():
                 rng_key, obs.shape[:-1] + (env.act_dim,), obs.dtype, -1.0, 1.0
             )
 
-    def policy(obs):
-        if args.discrete_action:
-            return base_policy(obs)  # one-hots: no BFS velocity expansion
-        if args.policy == "ckpt" or (
-            args.num_layer > 1 and args.scenario == "formation_hd_env"
-        ):
-            return ft.bfs_actions(base_policy, obs, n)
-        return base_policy(obs)
+    use_bfs = args.num_layer > 1 and args.scenario == "formation_hd_env"
 
-    step = jax.jit(lambda state, obs: env.step(state, policy(obs)))
+    if args.policy == "ckpt" and not use_bfs:
+        # registry policy (handles recurrent carries); [N,do] → [1,N,do]
+        def step_body(state, obs, carry):
+            actions, carry = ckpt_policy(obs[None], carry)
+            state, out = env.step(state, actions[0])
+            return state, out, carry
+
+    else:
+        def step_body(state, obs, carry):
+            if use_bfs:
+                actions = ft.bfs_actions(base_policy, obs, n)
+            else:
+                actions = base_policy(obs)
+            state, out = env.step(state, actions)
+            return state, out, carry
+
+    step = jax.jit(step_body)
     reset = jax.jit(env.reset)
     frames = []
     ep_rewards, ep_bench = [], []
     for ep in range(args.episodes):
         state, obs = reset(jax.random.PRNGKey(args.seed + ep))
+        carry = carry0
         done, total_r, t = False, 0.0, 0
         while not done:
-            state, out = step(state, obs)
+            state, out, carry = step(state, obs, carry)
             obs = out.obs
             total_r += float(out.reward[0])
             done = bool(out.done.all())

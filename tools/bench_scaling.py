@@ -7,7 +7,15 @@ the mesh spans chips/hosts over ICI/DCN; in CI it runs on virtual CPU devices
 (``--force-cpu-devices N``) to validate the mechanism (the reference has no
 multi-node test story at all — SURVEY §4/§5).
 
+Two workloads:
+- ``rollout`` (default): pure env stepping — zero cross-device traffic, the
+  embarrassingly-parallel axis;
+- ``train``: the full MAPPO train_step (rollout scan + GAE + PPO epochs) —
+  the program whose gradient reduction actually exercises mesh collectives.
+
     python tools/bench_scaling.py --force-cpu-devices 8 --envs-per-device 64
+    python tools/bench_scaling.py --workload train --force-cpu-devices 8 \\
+        --envs-per-device 64
 """
 
 import argparse
@@ -27,6 +35,16 @@ def main():
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--force-cpu-devices", type=int, default=0)
+    p.add_argument(
+        "--workload", choices=["rollout", "train"], default="rollout",
+        help="rollout: vmapped env scan (no collectives); train: full MAPPO "
+        "train_step incl. gradient reduction over the mesh",
+    )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel factor for --workload train (mesh is "
+        "(devices/tp) x tp)",
+    )
     args = p.parse_args()
 
     if args.force_cpu_devices:
@@ -50,7 +68,7 @@ def main():
             key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
         )
 
-    def throughput(n_dev: int) -> float:
+    def rollout_throughput(n_dev: int) -> float:
         B = args.envs_per_device * n_dev
         mesh = make_mesh(devices=jax.devices()[:n_dev])
 
@@ -75,6 +93,32 @@ def main():
         r.block_until_ready()
         return B * args.chunk * args.iters / (time.perf_counter() - t0)
 
+    def train_throughput(n_dev: int) -> float:
+        """Full MAPPO train_step env-steps/s on a (n_dev/tp) x tp mesh."""
+        from gym_formation_tpu.algos.registry import make_algo
+        from gym_formation_tpu.parallel import parse_mesh_arg, shard_train_tuple
+
+        tp = args.tp if n_dev % max(args.tp, 1) == 0 and n_dev >= args.tp else 1
+        dp = n_dev // tp
+        B = args.envs_per_device * dp
+        mesh = parse_mesh_arg(f"{dp},{tp}", devices=jax.devices()[:n_dev])
+        algo = make_algo("mappo", env, num_envs=B)
+        state = shard_train_tuple(
+            "mappo", list(algo.init(jax.random.PRNGKey(0))), mesh
+        )
+        *state, m = algo.train_step(*state, jax.random.PRNGKey(1))
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            *state, m = algo.train_step(*state, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(m)
+        steps = B * algo.cfg.rollout_len * args.iters
+        return steps / (time.perf_counter() - t0)
+
+    throughput = (
+        train_throughput if args.workload == "train" else rollout_throughput
+    )
+
     n_devices = len(jax.devices())
     sweep = sorted({1, 2, n_devices // 2, n_devices} - {0})
     results = []
@@ -93,7 +137,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"weak-scaling efficiency at {n_devices} devices",
+                "metric": (
+                    f"weak-scaling efficiency ({args.workload}) at "
+                    f"{n_devices} devices"
+                ),
                 "value": results[-1]["efficiency"],
                 "unit": "fraction",
                 "sweep": results,

@@ -20,25 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 import gym_formation_tpu as ft
-from gym_formation_tpu.algos import (
-    MADDPG,
-    MADDPGConfig,
-    MAPPO,
-    MAPPOConfig,
-    MASAC,
-    MASACConfig,
-    MATD3,
-    MATD3Config,
-    QMix,
-    QMixConfig,
-    RMADDPG,
-    RMADDPGConfig,
-    RMAPPO,
-    RMAPPOConfig,
-    RMASAC,
-    RMASACConfig,
-    RQMix,
-    RQMixConfig,
+from gym_formation_tpu.algos.registry import (
+    ALGO_NAMES,
+    DISCRETE_ONLY,
+    EPISODIC,
+    ONPOLICY,
+    make_algo,
 )
 from gym_formation_tpu.utils import (
     MetricsLogger,
@@ -47,68 +34,19 @@ from gym_formation_tpu.utils import (
     save_checkpoint,
 )
 
-EPISODIC = ("rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn")
-ONPOLICY = ("mappo", "rmappo")
-
 
 def build(args, env):
     """Return (algo, cfg, state) where state is the full training tuple."""
-    from gym_formation_tpu.utils.config import load_config
-
-    lr = [f"lr={args.lr}"] if args.lr else []
-    lr2 = [f"lr_actor={args.lr}", f"lr_critic={args.lr}"] if args.lr else []
-    sets = list(args.set or [])
-
-    def cfg_of(cls, base, extra=()):
-        # defaults <- --config yaml <- implied flags <- --set key=value
-        return load_config(cls, args.config, [*base, *extra, *sets])
-
-    key = jax.random.PRNGKey(args.seed)
-    if args.algo == "mappo":
-        algo = MAPPO(env, cfg_of(MAPPOConfig, lr), num_envs=args.num_envs)
-    elif args.algo == "rmappo":
-        algo = RMAPPO(env, cfg_of(RMAPPOConfig, lr), num_envs=args.num_envs)
-    elif args.algo in ("maddpg", "ddpg"):
-        algo = MADDPG(
-            env,
-            cfg_of(MADDPGConfig, lr2, [f"centralized={args.algo == 'maddpg'}"]),
-            num_envs=args.num_envs,
-        )
-    elif args.algo == "matd3":
-        algo = MATD3(env, cfg_of(MATD3Config, lr2), num_envs=args.num_envs)
-    elif args.algo == "masac":
-        algo = MASAC(env, cfg_of(MASACConfig, lr), num_envs=args.num_envs)
-    elif args.algo in ("rmaddpg", "rmatd3"):
-        algo = RMADDPG(
-            env,
-            cfg_of(RMADDPGConfig, lr2, [f"twin={args.algo == 'rmatd3'}"]),
-            num_envs=args.num_envs,
-        )
-    elif args.algo == "rmasac":
-        algo = RMASAC(env, cfg_of(RMASACConfig, lr), num_envs=args.num_envs)
-    elif args.algo in ("rqmix", "rvdn"):
-        algo = RQMix(
-            env, cfg_of(RQMixConfig, [], [f"mixer={args.algo[1:]}", *lr]),
-            num_envs=args.num_envs,
-        )
-    else:  # qmix / vdn (MLP variants)
-        algo = QMix(
-            env, cfg_of(QMixConfig, [], [f"mixer={args.algo}", *lr]),
-            num_envs=args.num_envs,
-        )
-    return algo, algo.cfg, list(algo.init(key))
+    algo = make_algo(
+        args.algo, env, num_envs=args.num_envs,
+        sets=args.set or [], config_yaml=args.config, lr=args.lr,
+    )
+    return algo, algo.cfg, list(algo.init(jax.random.PRNGKey(args.seed)))
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument(
-        "--algo",
-        choices=[
-            "mappo", "rmappo", "maddpg", "ddpg", "matd3", "masac",
-            "qmix", "vdn", "rmaddpg", "rmatd3", "rmasac", "rqmix", "rvdn",
-        ],
-        default="mappo",
-    )
+    p.add_argument("--algo", choices=list(ALGO_NAMES), default="mappo")
     p.add_argument("--scenario", default="formation_hd_env")
     p.add_argument("--num-agents", type=int, default=3)
     p.add_argument("--num-envs", type=int, default=128)
@@ -134,6 +72,30 @@ def main():
         "update (the reference v2 discrete path), mappo to a categorical "
         "head (onpolicy's ACTLayer discrete branch)",
     )
+    p.add_argument(
+        "--mesh", default=None, metavar="DP[,TP]",
+        help="shard training over a device mesh: env batch data-parallel "
+        "over DP devices, network kernels tensor-parallel over TP (default "
+        "1).  Works for every --algo, replay buffers included; gradients "
+        "reduce over the mesh via the collectives XLA inserts.  The "
+        "user-facing scale axis matching the reference's 128-process "
+        "rollout fleet (train/mappo/train_formation.sh:13).  num-envs "
+        "must divide by DP.  e.g. --mesh 4 or --mesh 4,2",
+    )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed first (TPU pod slices: coordinator "
+        "discovered from the environment); every host runs this same "
+        "command and --mesh spans the global device set",
+    )
+    p.add_argument(
+        "--benchmark", action="store_true",
+        help="build the env with benchmark=True and log the per-step "
+        "benchmark_data quartet means (bench_reward/collisions/min_dists/"
+        "occupied_landmarks) alongside the training metrics — the "
+        "reference's make_env(benchmark=True) info_callback "
+        "instrumentation (formation_gym/__init__.py:13-14)",
+    )
     p.add_argument("--run-dir", default=None)
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--log-every", type=int, default=10)
@@ -144,6 +106,11 @@ def main():
         "the iteration counter (reference v4 auto-restore behavior)",
     )
     args = p.parse_args()
+
+    if args.multihost:
+        from gym_formation_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
 
     if args.discrete_action and args.algo not in (
         "maddpg", "ddpg", "matd3", "masac", "mappo", "rmappo",
@@ -164,8 +131,9 @@ def main():
     env = ft.make_env(
         args.scenario,
         num_agents=args.num_agents,
+        benchmark=args.benchmark,
         discrete_action=(
-            args.discrete_action or args.algo in ("qmix", "vdn", "rqmix", "rvdn")
+            args.discrete_action or args.algo in DISCRETE_ONLY
         ),
         **kw,
     )
@@ -176,6 +144,20 @@ def main():
     ckpt_dir = os.path.join(run_dir, "ckpt")
 
     algo, cfg, state = build(args, env)
+
+    if args.mesh:
+        from gym_formation_tpu.parallel import parse_mesh_arg, shard_train_tuple
+
+        mesh = parse_mesh_arg(args.mesh)
+        dp = mesh.shape["data"]
+        if args.num_envs % dp != 0:
+            raise SystemExit(
+                f"--num-envs {args.num_envs} must divide by the data-parallel "
+                f"mesh size {dp}"
+            )
+        state = shard_train_tuple(args.algo, state, mesh)
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
     if args.algo in ONPOLICY:
         steps_per_iter = cfg.rollout_len * args.num_envs
     elif args.algo in EPISODIC:
