@@ -471,3 +471,31 @@ def test_rmappo_discrete_recurrent_categorical(key):
     a = np.asarray(a)
     assert a.shape == (8, 3, 5)
     assert np.allclose(a.sum(-1), 1.0) and set(np.unique(a)) == {0.0, 1.0}
+
+
+@pytest.mark.parametrize("name,iters", [("rmaddpg", 30), ("rqmix", 60)])
+def test_recurrent_learning_signal(name, iters):
+    """Recurrent off-policy learners IMPROVE, not just run: the per-step
+    training reward trends up over a miniature version of the measured
+    RESULTS.md zoo protocol (the full 2M-step runs live in RESULTS.md §zoo;
+    this guards the learning signal in CI)."""
+    from gym_formation_tpu.algos.registry import DISCRETE_ONLY, make_algo
+
+    env = ft.make_env(
+        "formation_hd_env", num_agents=3, episode_length=8,
+        discrete_action=name in DISCRETE_ONLY,
+    )
+    algo = make_algo(
+        name, env, num_envs=16,
+        sets=["episodes_per_iter=4", "updates_per_iter=8", "batch_episodes=16",
+              "buffer_episodes=256"]
+        + (["eps_anneal_steps=5000"] if name == "rqmix"
+           else ["lr_actor=1e-3", "lr_critic=1e-3"]),
+    )
+    state = list(algo.init(jax.random.PRNGKey(0)))
+    rews = []
+    for i in range(iters):
+        *state, m = algo.train_step(*state, jax.random.PRNGKey(i + 1))
+        rews.append(float(m["mean_step_reward"]))
+    assert np.isfinite(rews).all()
+    assert np.mean(rews[-5:]) > np.mean(rews[:5]) + 0.1, rews

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Roofline analysis of the headline rollout: XLA's compiled cost analysis
+(FLOPs + bytes accessed, fusion-aware) against measured wall time gives the
+HBM-bandwidth and FLOP utilization of the compiled program — the "how close
+to speed-of-light" number RESULTS.md cites (the reference has no quantitative
+perf instrumentation at all, SURVEY §6).
+
+    python tools/roofline.py --num-agents 243 --num-envs 8192 --policy bfs_state
+    python tools/roofline.py --num-agents 3 --num-envs 4096 --policy ezpolicy
+
+Peak numbers default to one TPU v5e chip: 197 TFLOP/s bf16 (~49 TFLOP/s f32
+vector), 819 GB/s HBM.  Override with --peak-flops/--peak-bw for other chips.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import gym_formation_tpu as ft
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenario", default="formation_hd_env")
+    p.add_argument("--num-agents", type=int, default=243)
+    p.add_argument("--num-envs", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--policy", choices=["ezpolicy", "bfs_state", "random"],
+                   default="bfs_state")
+    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
+    p.add_argument("--peak-bw", type=float, default=8.19e11,
+                   help="peak HBM bytes/s (v5e: 819 GB/s)")
+    p.add_argument("--peak-flops", type=float, default=4.9e13,
+                   help="peak f32 FLOP/s for the dominant unit (v5e VPU-bound "
+                   "physics: ~49 TFLOP/s; use 1.97e14 for bf16 MXU work)")
+    args = p.parse_args()
+
+    from gym_formation_tpu.core.physics import set_pallas_mode
+
+    set_pallas_mode(args.pallas)
+    env = ft.make_env(args.scenario, num_agents=args.num_agents)
+    B, T = args.num_envs, args.chunk
+
+    if args.policy == "bfs_state":
+        import numpy as np
+
+        n_per_layer = args.num_agents
+        for cand in range(2, args.num_agents + 1):
+            L = round(np.log(args.num_agents) / np.log(cand))
+            if cand**max(L, 1) == args.num_agents:
+                n_per_layer = cand
+                break
+
+        def policy(state, key):
+            return ft.bfs_actions_from_state(
+                ft.ezpolicy_batched, env.scenario, state, n_per_layer
+            )
+
+        def run_chunk(state, key):
+            keys = jax.random.split(key, B)
+            state, rewards = jax.vmap(
+                lambda s, k: ft.rollout_statepolicy(env, policy, s, k, T)
+            )(state, keys)
+            return state, rewards.sum()
+
+        reset = jax.jit(jax.vmap(lambda k: env.reset(k)[0]))
+        carry = (reset(jax.random.split(jax.random.PRNGKey(0), B)),)
+    else:
+        if args.policy == "ezpolicy":
+            policy = lambda obs, key: ft.ezpolicy_batched(obs)
+        else:
+            policy = lambda obs, key: jax.random.uniform(
+                key, obs.shape[:-1] + (env.act_dim,), jnp.float32, -1.0, 1.0
+            )
+
+        def run_chunk(state, obs, key):
+            keys = jax.random.split(key, B)
+            (state, obs), outs = jax.vmap(
+                lambda s, o, k: ft.rollout(env, policy, s, o, k, T)
+            )(state, obs, keys)
+            return state, obs, outs.reward.sum()
+
+        reset = jax.jit(jax.vmap(env.reset))
+        carry = reset(jax.random.split(jax.random.PRNGKey(0), B))
+
+    lowered = jax.jit(run_chunk).lower(*carry, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns one dict per device
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+
+    out = compiled(*carry, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = compiled(*(out[:-1] if len(out) > 1 else out), jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    steps = B * T
+    bw = bytes_accessed / dt
+    fl = flops / dt
+    print(
+        json.dumps(
+            {
+                "config": f"{args.scenario} N={args.num_agents} B={B} "
+                f"T={T} policy={args.policy} pallas={args.pallas}",
+                "steps_per_s": round(steps / dt, 1),
+                "ms_per_chunk": round(dt * 1e3, 2),
+                "xla_flops_per_step": round(flops / steps, 1),
+                "xla_bytes_per_step": round(bytes_accessed / steps, 1),
+                "achieved_GBps": round(bw / 1e9, 1),
+                "hbm_utilization": round(bw / args.peak_bw, 3),
+                "achieved_GFLOPs": round(fl / 1e9, 1),
+                "flop_utilization": round(fl / args.peak_flops, 3),
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
