@@ -32,7 +32,7 @@ def main():
     p.add_argument("--num-agents", type=int, default=3)
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=256, help="scan steps per device call")
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=16)
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
     p.add_argument(
         "--mesh", type=int, default=None, metavar="DP",
@@ -134,17 +134,27 @@ def main():
         if obs is not None:
             obs = shard_batch(obs, mesh)
 
-    # warmup/compile
+    # warmup/compile.  NOTE the float() fetches: on the remote-TPU tunnel a
+    # faulted execution leaves buffers in an async error state that
+    # ``block_until_ready()`` returns from WITHOUT raising — timing against
+    # it silently measures dead buffers (observed: a faulting config
+    # "benchmarked" at 4.4B steps/s).  Only a host value fetch is a proof of
+    # execution, so every timed window ends with one, and the fetched reward
+    # is checked finite.
+    import math
+
     state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))
-    r.block_until_ready()
+    rv = float(r)
+    assert math.isfinite(rv), f"non-finite reward from warmup chunk: {rv}"
 
     t0 = time.perf_counter()
     total = 0
     for i in range(args.iters):
         state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(2 + i))
         total += B * T
-    r.block_until_ready()
+    rv = float(r)  # blocks on the full dispatch chain via data dependency
     dt = time.perf_counter() - t0
+    assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
 
     steps_per_sec = total / dt
     print(

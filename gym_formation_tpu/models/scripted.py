@@ -50,18 +50,28 @@ def ezpolicy(obs: Array, num_agents: int = None) -> Array:
     cur = jnp.concatenate([other_pos.reshape(n - 1, 2), jnp.zeros((1, 2), obs.dtype)])
     cur = cur - cur.mean(axis=0, keepdims=True)
     me = cur[-1]
-    # Rank vertices by distance from self.
-    order = jnp.argsort(jnp.linalg.norm(me[None, :] - ideal_shape, axis=-1))
-    # For each vertex (in ranked order) find its closest agent; claim the
-    # first ranked vertex whose closest agent is self, else the last ranked.
+    # The reference walks vertices ranked by distance-from-self and claims
+    # the first whose closest agent is self, falling back to the last-ranked
+    # (farthest) vertex.  "First ranked with ok" ≡ "argmin of d_self over ok
+    # vertices" (argsort and argmin break ties identically: lowest index), so
+    # the rank walk is a masked argmin — no sort/scatter/dynamic-gather,
+    # which TPUs execute as slow bitonic/serial ops.
+    d_self = jnp.linalg.norm(me[None, :] - ideal_shape, axis=-1)  # [vertex]
     d_agent_vertex = jnp.linalg.norm(
-        cur[:, None, :] - ideal_shape[None, order, :], axis=-1
-    )  # [agent, ranked vertex]
+        cur[:, None, :] - ideal_shape[None, :, :], axis=-1
+    )  # [agent, vertex]
     closest = jnp.argmin(d_agent_vertex, axis=0)
     ok = closest == (n - 1)
-    ok = ok.at[-1].set(True)  # fallback: last-ranked vertex (``idx == sort_mark_idx[-1]``)
-    pick = order[jnp.argmax(ok)]
-    act = jnp.clip(0.5 * (ideal_shape[pick] - me), -1.0, 1.0)
+    # fallback vertex = farthest from self (``idx == sort_mark_idx[-1]``);
+    # argsort ranks ties by index so its last element is the *highest* index
+    # among maximal distances — mirror that with a reversed argmax.
+    far = (n - 1) - jnp.argmax(d_self[::-1])
+    ok = ok | (jnp.arange(n) == far)
+    pick = jnp.argmin(jnp.where(ok, d_self, jnp.inf))
+    vertex = jnp.einsum(
+        "v,vd->d", jax.nn.one_hot(pick, n, dtype=ideal_shape.dtype), ideal_shape
+    )
+    act = jnp.clip(0.5 * (vertex - me), -1.0, 1.0)
     settled = jnp.linalg.norm(ideal_shape - cur) < 0.01
     return act + ideal_vel * jnp.where(settled, 1.0, 0.3)
 

@@ -86,11 +86,11 @@ def main():
         state = shard_batch(state, mesh)
         obs = shard_batch(obs, mesh)
         state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))
-        r.block_until_ready()
+        float(jax.device_get(r))  # value fetch: proves execution (see bench.py)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(2 + i))
-        r.block_until_ready()
+        float(jax.device_get(r))
         return B * args.chunk * args.iters / (time.perf_counter() - t0)
 
     def train_throughput(n_dev: int) -> float:
@@ -107,11 +107,11 @@ def main():
             "mappo", list(algo.init(jax.random.PRNGKey(0))), mesh
         )
         *state, m = algo.train_step(*state, jax.random.PRNGKey(1))
-        jax.block_until_ready(m)
+        jax.device_get(m)  # value fetch: proves execution (see bench.py)
         t0 = time.perf_counter()
         for i in range(args.iters):
             *state, m = algo.train_step(*state, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(m)
+        jax.device_get(m)
         steps = B * algo.cfg.rollout_len * args.iters
         return steps / (time.perf_counter() - t0)
 

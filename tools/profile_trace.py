@@ -46,10 +46,10 @@ def main():
         jax.random.split(jax.random.PRNGKey(0), B)
     )
     state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(1))
-    r.block_until_ready()  # compile outside the trace
+    float(jax.device_get(r))  # compile outside the trace; value fetch proves execution
     with trace(args.out):
         state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(2))
-        r.block_until_ready()
+        float(jax.device_get(r))
     print(f"trace written → {args.out} (view with tensorboard --logdir)")
 
 

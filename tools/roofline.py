@@ -100,12 +100,18 @@ def main():
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
 
     out = compiled(*carry, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    # value-fetch, not block_until_ready: on the remote-TPU tunnel a faulted
+    # execution's buffers report ready without raising — only a host fetch
+    # proves the computation ran (see bench.py).
+    float(jax.device_get(out[-1]))
     t0 = time.perf_counter()
     for i in range(args.iters):
         out = compiled(*(out[:-1] if len(out) > 1 else out), jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+    rv = float(jax.device_get(out[-1]))
     dt = (time.perf_counter() - t0) / args.iters
+    import math
+
+    assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
 
     steps = B * T
     bw = bytes_accessed / dt
