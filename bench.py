@@ -41,6 +41,15 @@ def main():
         "default: single default device",
     )
     p.add_argument(
+        "--fused", choices=["auto", "on", "off"], default="auto",
+        help="use the whole-rollout fused Pallas kernel "
+        "(ops/pallas/fused_rollout.py): the full env pipeline + ezpolicy run "
+        "inside ONE kernel with state VMEM-resident across the chunk. "
+        "auto: on for the default workload (formation_hd_env + ezpolicy, "
+        "single device, TPU); parity with the step-by-step path is asserted "
+        "by tests/test_fused_rollout.py",
+    )
+    p.add_argument(
         "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
         default="ezpolicy",
         help="ezpolicy (default): scripted policy consuming the observations "
@@ -58,6 +67,67 @@ def main():
 
     env = ft.make_env(args.scenario, num_agents=args.num_agents)
     B, T = args.num_envs, args.chunk
+
+    use_fused = args.fused == "on" or (
+        args.fused == "auto"
+        and args.scenario == "formation_hd_env"
+        and args.policy == "ezpolicy"
+        and not args.mesh
+        and jax.default_backend() == "tpu"
+        and B % 512 == 0
+    )
+    if use_fused:
+        import math
+        from functools import partial
+
+        from gym_formation_tpu.ops.pallas.fused_rollout import (
+            fused_rollout_hd,
+            state_to_soa,
+        )
+
+        run = jax.jit(
+            partial(
+                fused_rollout_hd,
+                length=T,
+                ep_len=env.world_length,
+                n=args.num_agents,
+                block=512,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
+        soa = jax.jit(state_to_soa)(
+            jax.jit(jax.vmap(lambda k: env.reset(k)[0]))(
+                jax.random.split(jax.random.PRNGKey(0), B)
+            )
+        )
+        soa, r = run(soa, 1)
+        rv = float(r.sum())
+        assert math.isfinite(rv), f"non-finite reward from warmup chunk: {rv}"
+        # device time per chunk is ~2.5 ms; use enough chunks to amortize the
+        # single ~35 ms tunnel round trip of the closing value fetch
+        iters = max(args.iters, 64)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            soa, r = run(soa, 2 + i)
+        rv = float(r.sum())
+        dt = time.perf_counter() - t0
+        assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
+        steps_per_sec = iters * B * T / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"env-steps/s/chip ({args.scenario}, "
+                    f"N={args.num_agents}, {B} envs, ezpolicy policy, "
+                    "fused rollout kernel)",
+                    "value": round(steps_per_sec, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(
+                        steps_per_sec / BASELINE_STEPS_PER_SEC, 3
+                    ),
+                }
+            )
+        )
+        return
 
     if args.policy == "ezpolicy":
 
