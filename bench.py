@@ -170,10 +170,12 @@ def main():
         def run_chunk(state, obs, key):
             del obs  # never materialized in this mode (see reset below)
             keys = jax.random.split(key, B)
-            state, rewards = jax.vmap(
-                lambda s, k: ft.rollout_statepolicy(env, policy, s, k, T)
+            # reward-sum variant: a stacked [B, T, N] reward output is 8.2 GB
+            # at the N=243 x 8192 x 256 config and OOMs the chip
+            state, rsum = jax.vmap(
+                lambda s, k: ft.rollout_statepolicy_rewardsum(env, policy, s, k, T)
             )(state, keys)
-            return state, None, rewards.sum()
+            return state, None, rsum.sum()
 
     else:
 

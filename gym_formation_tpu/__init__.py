@@ -18,6 +18,7 @@ from .env import (
     VecFormationEnv,
     rollout,
     rollout_statepolicy,
+    rollout_statepolicy_rewardsum,
     rollout_stateonly,
 )
 from .envs import SCENARIOS, generate_shape, make_scenario, register
@@ -95,6 +96,7 @@ __all__ = [
     "register",
     "rollout",
     "rollout_statepolicy",
+    "rollout_statepolicy_rewardsum",
     "rollout_stateonly",
     "generate_shape",
     "ezpolicy",

@@ -376,6 +376,33 @@ def rollout_statepolicy(
     return state, rewards
 
 
+def rollout_statepolicy_rewardsum(
+    env: FormationEnv,
+    state_policy_fn,
+    state: EnvState,
+    key: Array,
+    length: int,
+):
+    """:func:`rollout_statepolicy` but accumulating the reward *sum* in the
+    scan carry instead of stacking per-step rewards.  The stacked [T, N]
+    output is a scan output XLA must materialize — at the large-batch bench
+    configs it dominates memory (N=243, B=8192, T=256: an 8.2 GB reward
+    tensor, which OOMs the 16 GB chip).  Returns (state, scalar reward sum).
+    """
+
+    def body(carry, _):
+        st, k, acc = carry
+        k, k_act = jax.random.split(k)
+        actions = state_policy_fn(env.scenario.pre_obs(st), k_act)
+        st, out = env.step(st, actions)
+        return (st, k, acc + out.reward.sum()), None
+
+    (state, _, rsum), _ = jax.lax.scan(
+        body, (state, key, jnp.zeros((), state.pos.dtype)), None, length=length
+    )
+    return state, rsum
+
+
 def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:
     """Receptor-field offsets in the agent's local frame — the reference's
     (unused) observation helper ``environment.py:396-414``, kept for surface
