@@ -120,9 +120,81 @@ class FormationHDScenario(Scenario):
 
     def reward(self, state: EnvState) -> Array:
         apos = self.agent_pos(state)
-        shape_term = -hausdorff(center(apos), state.ideal_shape)
+        haus, ncoll = self._hd_stats()(apos, state.ideal_shape)
         vel_term = -jnp.linalg.norm(state.ideal_vel - self.agent_vel(state).mean(axis=0))
-        shared = shape_term + vel_term
-        coll = self._collision_matrix(state)
-        per_agent = jnp.sum(coll & ~jnp.eye(self.n, dtype=bool), axis=1)
-        return shared - per_agent.astype(self.dtype)
+        shared = -haus + vel_term
+        return shared - ncoll.astype(self.dtype)
+
+    # -- fused reward statistics dispatch -----------------------------------
+    def _hd_stats_xla(self, apos: Array, ishape: Array):
+        """(hausdorff, per-agent collision count) — the plain XLA formulas
+        (reference ``formation_hd_env.py:61-75``, ``:119-121``)."""
+        haus = hausdorff(center(apos), ishape)
+        d = jnp.linalg.norm(apos[:, None, :] - apos[None, :, :], axis=-1)
+        s = jnp.asarray(self.cfg.size[: self.n], d.dtype)
+        thresh = (s[:, None] + s[None, :]) * self.collision_factor
+        coll = d < thresh
+        ncoll = jnp.sum(coll & ~jnp.eye(self.n, dtype=bool), axis=1)
+        return haus, ncoll.astype(apos.dtype)
+
+    def _hd_stats(self):
+        """Per-env (hausdorff, collision-count) fn; under ``vmap`` over the
+        env batch it dispatches to the fused Pallas reduction kernel
+        (ops/pallas/reward.py) for large N on TPU, so the two [B, N, N]
+        distance matrices never touch HBM.  Mirrors the pair-force dispatch
+        (core/physics.py)."""
+        from ..core import physics as _physics
+
+        # cached in the physics dispatch registry so set_pallas_mode()
+        # invalidates it alongside the pair-force wrappers
+        cache_key = ("hd_stats", id(self))
+        hit = _physics._pallas_fns.get(cache_key)
+        if hit is not None and hit[0] is self:
+            return hit[1]
+
+        n = self.n
+        size = self.cfg.size[:n]
+        uniform = bool((size == size[0]).all())
+        thresh = float(2.0 * size[0] * self.collision_factor)
+
+        @jax.custom_batching.custom_vmap
+        def fn(apos, ishape):
+            return self._hd_stats_xla(apos, ishape)
+
+        @fn.def_vmap
+        def _rule(axis_size, in_batched, apos_b, ishape_b):
+            del axis_size
+            eligible = (
+                uniform
+                and apos_b.ndim == 3
+                and apos_b.dtype == jnp.float32
+                and _physics._PALLAS_MODE != "off"
+                and (
+                    _physics._PALLAS_MODE == "on"
+                    or n >= _physics._PALLAS_MIN_ENTITIES
+                )
+            )
+            xla = lambda a, s: jax.vmap(self._hd_stats_xla)(a, s)
+            if eligible and _physics._PALLAS_MODE == "on":
+                from ..ops.pallas.reward import hd_reward_stats_batched
+
+                out = hd_reward_stats_batched(
+                    apos_b, ishape_b, thresh=thresh,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            elif eligible:
+                from ..ops.pallas.reward import hd_reward_stats_batched
+
+                out = jax.lax.platform_dependent(
+                    apos_b, ishape_b,
+                    tpu=lambda a, s: hd_reward_stats_batched(
+                        a, s, thresh=thresh
+                    ),
+                    default=xla,
+                )
+            else:
+                out = xla(apos_b, ishape_b)
+            return out, (in_batched[0], in_batched[0])
+
+        _physics._pallas_fns[cache_key] = (self, fn)  # keep self alive
+        return fn

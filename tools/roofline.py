@@ -1,9 +1,13 @@
 #!/usr/bin/env python
-"""Roofline analysis of the headline rollout: XLA's compiled cost analysis
-(FLOPs + bytes accessed, fusion-aware) against measured wall time gives the
-HBM-bandwidth and FLOP utilization of the compiled program — the "how close
-to speed-of-light" number RESULTS.md cites (the reference has no quantitative
-perf instrumentation at all, SURVEY §6).
+"""Roofline-style estimate for the headline rollout: measured value-fetched
+throughput against XLA's compiled cost analysis (the reference has no
+quantitative perf instrumentation at all, SURVEY §6).
+
+Honesty caveats, learned the hard way: XLA's "bytes accessed" counts every
+fused operand access rather than HBM traffic, so it is reported only as an
+upper bound; FLOP utilization uses XLA's op-count *estimate*.  Timing closes
+with a host value fetch (block_until_ready does not surface async faults on
+the remote backend).
 
     python tools/roofline.py --num-agents 243 --num-envs 8192 --policy bfs_state
     python tools/roofline.py --num-agents 3 --num-envs 4096 --policy ezpolicy
@@ -66,10 +70,12 @@ def main():
 
         def run_chunk(state, key):
             keys = jax.random.split(key, B)
-            state, rewards = jax.vmap(
-                lambda s, k: ft.rollout_statepolicy(env, policy, s, k, T)
+            state, rsum = jax.vmap(
+                lambda s, k: ft.rollout_statepolicy_rewardsum(
+                    env, policy, s, k, T
+                )
             )(state, keys)
-            return state, rewards.sum()
+            return state, rsum.sum()
 
         reset = jax.jit(jax.vmap(lambda k: env.reset(k)[0]))
         carry = (reset(jax.random.split(jax.random.PRNGKey(0), B)),)
@@ -114,8 +120,13 @@ def main():
     assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
 
     steps = B * T
-    bw = bytes_accessed / dt
     fl = flops / dt
+    # "bytes accessed" from XLA cost analysis counts every fused operand
+    # access, NOT actual HBM traffic (fusion-internal reads stay in
+    # registers/VMEM) — dividing it by wall time produced >2000x "HBM
+    # utilization" nonsense in an earlier revision.  Report it only as an
+    # upper bound on traffic; utilization is quoted for FLOPs alone, and
+    # even that uses XLA's *estimate* of the op count.
     print(
         json.dumps(
             {
@@ -123,12 +134,12 @@ def main():
                 f"T={T} policy={args.policy} pallas={args.pallas}",
                 "steps_per_s": round(steps / dt, 1),
                 "ms_per_chunk": round(dt * 1e3, 2),
-                "xla_flops_per_step": round(flops / steps, 1),
-                "xla_bytes_per_step": round(bytes_accessed / steps, 1),
-                "achieved_GBps": round(bw / 1e9, 1),
-                "hbm_utilization": round(bw / args.peak_bw, 3),
-                "achieved_GFLOPs": round(fl / 1e9, 1),
-                "flop_utilization": round(fl / args.peak_flops, 3),
+                "xla_est_flops_per_step": round(flops / steps, 1),
+                "xla_op_bytes_per_step_upper_bound": round(
+                    bytes_accessed / steps, 1
+                ),
+                "achieved_GFLOPs_est": round(fl / 1e9, 1),
+                "flop_utilization_est": round(fl / args.peak_flops, 3),
             },
             indent=1,
         )
