@@ -3,11 +3,13 @@
 throughput against XLA's compiled cost analysis (the reference has no
 quantitative perf instrumentation at all, SURVEY §6).
 
-Honesty caveats, learned the hard way: XLA's "bytes accessed" counts every
-fused operand access rather than HBM traffic, so it is reported only as an
-upper bound; FLOP utilization uses XLA's op-count *estimate*.  Timing closes
-with a host value fetch (block_until_ready does not surface async faults on
-the remote backend).
+Honesty caveats, learned the hard way: the only trustworthy number this
+tool prints is `steps_per_s` (value-fetched pipelined timing).  XLA's cost
+analysis counts the scan BODY once rather than T times and its "bytes
+accessed" counts fused operand accesses rather than HBM traffic, so both
+are labeled estimates/bounds and must not be quoted as utilization.  For
+the real speed-of-light analysis of the headline workload see the fused
+rollout kernel discussion in RESULTS.md.
 
     python tools/roofline.py --num-agents 243 --num-envs 8192 --policy bfs_state
     python tools/roofline.py --num-agents 3 --num-envs 4096 --policy ezpolicy
@@ -134,12 +136,12 @@ def main():
                 f"T={T} policy={args.policy} pallas={args.pallas}",
                 "steps_per_s": round(steps / dt, 1),
                 "ms_per_chunk": round(dt * 1e3, 2),
-                "xla_est_flops_per_step": round(flops / steps, 1),
+                "xla_est_flops_per_step_scanbody_once": round(flops / steps, 1),
                 "xla_op_bytes_per_step_upper_bound": round(
                     bytes_accessed / steps, 1
                 ),
                 "achieved_GFLOPs_est": round(fl / 1e9, 1),
-                "flop_utilization_est": round(fl / args.peak_flops, 3),
+                "flop_utilization_est_unreliable": round(fl / args.peak_flops, 3),
             },
             indent=1,
         )
