@@ -37,12 +37,37 @@ _PALLAS_MODE = "auto"
 _PALLAS_MIN_ENTITIES = 128
 _pallas_fns = {}
 
+# Kernel implementation selector: 'dense' = ops/pallas/pairforce.py (every
+# pair evaluated), 'cull' = ops/pallas/pairforce_cull.py (Morton-sorted tiles,
+# pair math skipped for tile pairs provably beyond the contact cutoff).
+# Both are parity-tested against the f64 oracle in tests/test_pallas.py;
+# 'auto' currently picks dense (the cull kernel's win depends on entity
+# density — select it explicitly where measured faster).
+_PALLAS_IMPL = "auto"
+
 
 def set_pallas_mode(mode: str) -> None:
     assert mode in ("auto", "on", "off")
     global _PALLAS_MODE
     _PALLAS_MODE = mode
     _pallas_fns.clear()
+
+
+def set_pallas_impl(impl: str) -> None:
+    assert impl in ("auto", "dense", "cull")
+    global _PALLAS_IMPL
+    _PALLAS_IMPL = impl
+    _pallas_fns.clear()
+
+
+def _pallas_kernel_fn():
+    if _PALLAS_IMPL == "cull":
+        from ..ops.pallas import collision_forces_culled
+
+        return collision_forces_culled
+    from ..ops.pallas import collision_forces_batched
+
+    return collision_forces_batched
 
 
 def _pallas_wanted(cfg: WorldCfg) -> bool:
@@ -79,21 +104,18 @@ def _collision_forces_dispatch(cfg: WorldCfg):
         )
         xla = lambda p: jax.vmap(lambda q: _collision_forces_xla(q, cfg))(p)
         if eligible and _PALLAS_MODE == "on":
-            from ..ops.pallas import collision_forces_batched
-
             # forced: interpret mode keeps the kernel testable off-TPU
-            out = collision_forces_batched(
+            out = _pallas_kernel_fn()(
                 pos_b, cfg, interpret=jax.default_backend() != "tpu"
             )
         elif eligible:
-            from ..ops.pallas import collision_forces_batched
-
+            kern = _pallas_kernel_fn()
             # auto: select by the platform the computation actually lowers
             # for (not the process default backend — inputs committed to CPU
             # on a TPU-default machine must take the XLA path)
             out = jax.lax.platform_dependent(
                 pos_b,
-                tpu=lambda p: collision_forces_batched(p, cfg, interpret=False),
+                tpu=lambda p: kern(p, cfg, interpret=False),
                 default=xla,
             )
         else:

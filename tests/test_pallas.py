@@ -7,7 +7,10 @@ import jax.numpy as jnp
 import gym_formation_tpu as ft
 from gym_formation_tpu.core import make_world_cfg
 from gym_formation_tpu.core import physics
-from gym_formation_tpu.ops.pallas import collision_forces_batched
+from gym_formation_tpu.ops.pallas import (
+    collision_forces_batched,
+    collision_forces_culled,
+)
 
 
 def _f64_oracle(pos, cfg):
@@ -41,6 +44,58 @@ def test_pallas_kernel_matches_f64_oracle():
         np.testing.assert_allclose(
             out[b], _f64_oracle(pos[b], cfg), atol=1e-3, rtol=1e-3
         )
+
+
+def test_culled_kernel_matches_f64_oracle():
+    """The Morton-sorted culled kernel (ops/pallas/pairforce_cull.py) matches
+    the f64 oracle at the dense kernel's tolerance — the tile cull only skips
+    pairs whose penetration underflows to exactly 0.0f."""
+    cfg = make_world_cfg(243, 243, agent_size=0.03, landmark_size=0.01)
+    B = 5  # odd: exercises batch padding
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, 486, 2), jnp.float32, -0.5, 0.5
+    )
+    out = np.asarray(collision_forces_culled(pos, cfg, interpret=True))
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b], _f64_oracle(pos[b], cfg), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_culled_kernel_heterogeneous_entities():
+    """Mixed movable/immovable + collide/non-collide attributes (the hd_obs
+    obstacle layout) survive the per-entity attribute folding: immovable
+    receivers get zero force, collide=False entities interact with nothing,
+    mass ratios match the oracle."""
+    cfg = make_world_cfg(
+        100, 156, agent_size=0.05, landmark_size=0.04,
+        landmark_collide=True, landmark_movable=True,
+    )
+    # carve out a non-collide, non-movable block to exercise every branch
+    cfg.collide[120:180] = False
+    cfg.movable[200:] = False
+    cfg.mass[50:100] = 2.5
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(3), (3, 256, 2), jnp.float32, -0.4, 0.4
+    )
+    out = np.asarray(collision_forces_culled(pos, cfg, interpret=True))
+    for b in range(3):
+        np.testing.assert_allclose(
+            out[b], _f64_oracle(pos[b], cfg), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_culled_equals_dense_on_spread_positions():
+    """On widely spread positions (most tiles culled) the culled kernel still
+    reproduces the dense kernel: the skipped tiles' pairs each contribute
+    exactly +0.0f."""
+    cfg = make_world_cfg(128, 128, agent_size=0.03, landmark_size=0.01)
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(7), (4, 256, 2), jnp.float32, -3.0, 3.0
+    )
+    dense = np.asarray(collision_forces_batched(pos, cfg, interpret=True))
+    culled = np.asarray(collision_forces_culled(pos, cfg, interpret=True))
+    np.testing.assert_allclose(culled, dense, atol=2e-4, rtol=1e-4)
 
 
 def test_both_f32_paths_beat_gram_cancellation():
