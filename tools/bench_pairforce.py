@@ -36,32 +36,32 @@ def bench_kernel(args):
     )
 
     results = {}
-    for name in ("xla", "dense", "cull"):
+    variants = [args.only] if args.only else ["xla", "dense", "cull"]
+    for name in variants:
         physics.set_pallas_mode("off" if name == "xla" else "on")
         physics.set_pallas_impl("dense" if name != "cull" else "cull")
 
+        # one small jitted program (fast remote compile); iterations are
+        # pipelined from the host and chained through a data dependency so
+        # nothing is dead-code-eliminated, closed by a host value fetch
         @jax.jit
-        def run(p, it):
-            # chain iterations through a data dependency so the pipeline is
-            # not dead-code-eliminated; nudge positions to defeat CSE
-            def body(q, i):
-                f = jax.vmap(lambda e: physics.collision_forces(e, cfg))(q)
-                return q + 1e-6 * f, f.sum()
+        def run(q):
+            f = jax.vmap(lambda e: physics.collision_forces(e, cfg))(q)
+            return q + 1e-6 * f, f.sum()
 
-            q, s = jax.lax.scan(body, p + it * 1e-9, jnp.arange(16))
-            return q, s.sum()
-
-        q, s = run(pos, 0)
+        q, s = run(pos)
         sv = float(s)
         assert math.isfinite(sv), (name, sv)
+        iters = args.iters
         t0 = time.perf_counter()
-        q, s = run(pos, 1)
+        for _ in range(iters):
+            q, s = run(q)
         sv = float(s)
         dt = time.perf_counter() - t0
         assert math.isfinite(sv), (name, sv)
-        ms = dt / 16 * 1e3
+        ms = dt / iters * 1e3
         results[name] = ms
-        print(f"{name:>6}: {ms:.3f} ms/call  (B={B}, E={E})")
+        print(f"{name:>6}: {ms:.3f} ms/call  (B={B}, E={E})", flush=True)
     physics.set_pallas_mode("auto")
     physics.set_pallas_impl("auto")
     return results
@@ -73,7 +73,8 @@ def bench_rollout(args):
     n_per_layer = 3
 
     results = {}
-    for name in ("dense", "cull"):
+    variants = [args.only] if args.only in ("dense", "cull") else ["dense", "cull"]
+    for name in variants:
         physics.set_pallas_mode("auto")
         physics.set_pallas_impl(name)
 
@@ -120,6 +121,10 @@ def main():
     p.add_argument("-B", "--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument(
+        "--only", choices=["xla", "dense", "cull"], default=None,
+        help="run a single variant (one remote compile per process)",
+    )
     args = p.parse_args()
     (bench_kernel if args.mode == "kernel" else bench_rollout)(args)
 
