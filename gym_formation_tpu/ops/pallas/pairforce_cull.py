@@ -5,34 +5,41 @@ every entity pair, but the contact model is *exactly* zero beyond a tiny
 radius: ``pen = k * softplus(-(dist - dmin)/k)`` with ``k = contact_margin``
 underflows to ``0.0f`` once ``exp(-(dist - dmin)/k)`` underflows, i.e. for
 ``dist > dmin + 104 k`` (``exp(z) == 0.0f`` for ``z < -103.98``).  At the
-N=243 density (~500 entities in a ±1 world, cutoff ≈ 0.16) more than 99 % of
-pairs contribute nothing — the dense kernel spends its whole budget on
+N=243 density (~500 entities in a ±1 world, cutoff ≈ 0.16) the vast majority
+of pairs contribute nothing — the dense kernel spends its whole budget on
 transcendentals that are provably zero.
 
 This kernel culls at tile granularity, exactly:
 
 1. entities are sorted per env by a 2-D Morton key (jit-side, XLA argsort),
    so spatially-near entities land in the same tile;
-2. the grid is (batch-tile × row-tile × col-tile); each cell computes the
-   actual bounding boxes of its row/col entity tiles from the loaded
-   coordinates and **skips all pair math** (``pl.when``) when the boxes are
-   farther apart than the underflow cutoff — a skipped tile's pairs would
-   each have contributed exactly ``+0.0``, so culling is bit-neutral for the
-   in-kernel accumulation order;
-3. pair coefficients (contact radius, mass ratio, masks) are computed on the
-   fly from gathered per-entity vectors — the dense kernel's static [Ep, Ep]
-   tables would be permuted per env after the sort.  ``collide=False`` is
-   folded into a sentinel size (-1e4 → penetration exactly 0), the
-   ``movable_i`` receiver gate is applied outside the kernel, and the
-   (mov_i | mov_j) pair condition reduces to mov_i once the receiver gate is
-   out (see :func:`_collision_forces_xla` for the reference semantics,
-   ``core.py:288-322``).
+2. the layout is transposed — entities on the sublane axis, envs on the lane
+   axis (``[Ep, Bp]``) — so entity tiles can be as small as 8 while keeping
+   legal (8k, 128)-shaped blocks; small tiles mean tight bounding boxes and
+   a high cull rate.  Entities at the same Morton rank occupy similar world
+   positions in every env, so the any-over-the-128-env-lanes predicate stays
+   nearly as tight as a single env's;
+3. each (row-tile × col-tile) grid cell computes per-env bounding boxes of
+   its two entity tiles from the loaded coordinates and **skips all pair
+   math** (``pl.when``) when no env's boxes are within the underflow cutoff
+   — a skipped tile's pairs would each have contributed exactly ``+0.0``,
+   so culling is bit-neutral for the in-kernel accumulation order;
+4. pair coefficients (contact radius, mass ratio, masks) are computed on the
+   fly from gathered per-entity vectors — a static [Ep, Ep] table would be
+   permuted per env after the sort.  ``collide=False`` is folded into a
+   sentinel size (-1e4 → penetration exactly 0), the ``movable_i`` receiver
+   gate is applied outside the kernel, and the (mov_i | mov_j) pair
+   condition reduces to mov_i once the receiver gate is out (reference
+   semantics: ``core.py:288-322``).
 
 Correctness does not depend on the sort (the predicate uses real coordinate
 bounds); the sort only buys cull rate.  Numerics match the dense kernel up to
 summation order (the per-entity reduction runs in Morton order instead of
 index order) — parity vs the f64 oracle is asserted at the same tolerance in
 ``tests/test_pallas.py``.
+
+Batch is padded to the 128-lane width, so B < 128 pays padding waste — this
+kernel targets large-batch rollout/training configs.
 """
 
 from __future__ import annotations
@@ -53,7 +60,6 @@ LANE = 128
 # exp(z) underflows to exactly 0.0f below z = -103.98; pairs beyond
 # dmin + CUTOFF_K * margin therefore have penetration exactly 0.0f
 CUTOFF_K = 104.0
-_PAD_POS = 1.0e6  # sentinel coordinate for padded entity lanes
 _PAD_SIZE = -1.0e4  # sentinel size: folds collide=False / padding into pen=0
 
 
@@ -85,10 +91,11 @@ def _kernel(
     fx_ref, fy_ref,
     *, k, cf, cutoff,
 ):
-    """One (batch-tile, row-tile, col-tile) cell.
+    """One (env-tile, row-tile, col-tile) cell.
 
-    Row refs are [Bt, Tr]; col refs are [Bt, Tc].  Outputs [Bt, Tr] are
-    revisited across the (fastest-varying) col-tile grid axis and accumulated.
+    Row refs are [Tr, Bt]; col refs are [Tc, Bt]; Bt = 128 env lanes.
+    Outputs [Tr, Bt] are revisited across the (fastest-varying) col-tile
+    grid axis and accumulated.
     """
     j = pl.program_id(2)
 
@@ -97,42 +104,40 @@ def _kernel(
         fx_ref[:, :] = jnp.zeros_like(fx_ref)
         fy_ref[:, :] = jnp.zeros_like(fy_ref)
 
-    xi, yi = x_row[:, :], y_row[:, :]
-    xj, yj = x_col[:, :], y_col[:, :]
-    # tile bounding boxes from the actual loaded coordinates (sort-agnostic);
-    # ANY-over-batch-tile: compute if any env's boxes are within the cutoff
-    near_x = (jnp.min(xj, -1) <= jnp.max(xi, -1) + cutoff) & (
-        jnp.max(xj, -1) >= jnp.min(xi, -1) - cutoff
+    xi, yi = x_row[:, :], y_row[:, :]  # [Tr, Bt]
+    xj, yj = x_col[:, :], y_col[:, :]  # [Tc, Bt]
+    # per-env-lane tile bounding boxes from the actual loaded coordinates
+    # (sort-agnostic); compute the cell if ANY env's boxes are within cutoff
+    near_x = (jnp.min(xj, 0) <= jnp.max(xi, 0) + cutoff) & (
+        jnp.max(xj, 0) >= jnp.min(xi, 0) - cutoff
     )
-    near_y = (jnp.min(yj, -1) <= jnp.max(yi, -1) + cutoff) & (
-        jnp.max(yj, -1) >= jnp.min(yi, -1) - cutoff
+    near_y = (jnp.min(yj, 0) <= jnp.max(yi, 0) + cutoff) & (
+        jnp.max(yj, 0) >= jnp.min(yi, 0) - cutoff
     )
-
     si, vi = sz_row[:, :], minv_row[:, :]
     sj, wj, oj = sz_col[:, :], wm_col[:, :], om_col[:, :]
 
     @pl.when(jnp.any(near_x & near_y))
     def _compute():
-        dx = xi[:, :, None] - xj[:, None, :]  # [Bt, Tr, Tc]
-        dy = yi[:, :, None] - yj[:, None, :]
+        dx = xi[:, None, :] - xj[None, :, :]  # [Tr, Tc, Bt]
+        dy = yi[:, None, :] - yj[None, :, :]
         dist = jnp.sqrt(dx * dx + dy * dy)
-        dmin = si[:, :, None] + sj[:, None, :]
+        dmin = si[:, None, :] + sj[None, :, :]
         # logaddexp(0, z) = max(z, 0) + log1p(exp(-|z|)), stable softplus
         z = -(dist - dmin) / k
         pen = (jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))) * k
         # mass ratio: m_j/m_i when j movable, 1 otherwise
-        ratio = wj[:, None, :] * vi[:, :, None] + oj[:, None, :]
+        ratio = wj[None, :, :] * vi[:, None, :] + oj[None, :, :]
         coef = ratio * (cf * pen / jnp.maximum(dist, 1e-12))
-        fx_ref[:, :] += jnp.sum(coef * dx, axis=-1)
-        fy_ref[:, :] += jnp.sum(coef * dy, axis=-1)
+        fx_ref[:, :] += jnp.sum(coef * dx, axis=1)
+        fy_ref[:, :] += jnp.sum(coef * dy, axis=1)
 
 
 def collision_forces_culled(
     pos: Array,
     cfg: WorldCfg,
-    batch_tile: int = 8,
-    row_tile: int = 64,
-    col_tile: int = LANE,
+    row_tile: int = 32,
+    col_tile: int = 32,
     interpret: bool = False,
 ) -> Array:
     """Spatially-culled batched collision forces: pos [B, E, 2] → [B, E, 2].
@@ -143,8 +148,8 @@ def collision_forces_culled(
     """
     assert cfg.nan_guard, "pallas pair-force path requires nan_guard"
     B, E, _ = pos.shape
-    Ep = _round_up(E, col_tile)
-    Bp = _round_up(B, batch_tile)
+    Ep = _round_up(E, max(row_tile, col_tile))
+    Bp = _round_up(B, LANE)
 
     order = morton_order(pos)  # [B, E]
     take = lambda v: jnp.take_along_axis(v, order, axis=-1)
@@ -162,24 +167,30 @@ def collision_forces_culled(
     om = gat((1.0 - movable).astype(np.float32))  # 1 if immovable else 0
     mov = gat(movable)
 
-    def padded(v, fill):
+    # Pad coordinates so the cull predicate stays tight: entity-pad lanes
+    # copy the env's Morton-max entity (boxes don't inflate); batch-pad env
+    # lanes get an entity-indexed ramp (only same-tile boxes ever overlap).
+    # The sentinel size makes every pad pair contribute exactly 0 anyway.
+    ramp = jnp.broadcast_to(10.0 * jnp.arange(Ep, dtype=jnp.float32), (Bp, Ep))
+
+    def pad_coord(v):
+        return ramp.at[:B, :E].set(v).at[:B, E:].set(v[:, -1:])
+
+    def pad_attr(v, fill):
         out = jnp.full((Bp, Ep), fill, jnp.float32)
         return out.at[:B, :E].set(v)
 
-    # pad entity lanes with the last real (Morton-max) entity's coordinate —
-    # keeps the boundary tile's bounding box tight so it still culls; the
-    # sentinel size makes pad pairs contribute exactly 0 regardless.  Batch
-    # pad rows sit at the far sentinel and never overlap real tiles.
-    xs_p = padded(xs, _PAD_POS).at[:B, E:].set(xs[:, -1:])
-    ys_p = padded(ys, _PAD_POS).at[:B, E:].set(ys[:, -1:])
-    sz_p = padded(sz, _PAD_SIZE)
-    minv_p = padded(minv, 1.0)
-    wm_p = padded(wm, 0.0)
-    om_p = padded(om, 1.0)
+    # transpose to [Ep, Bp]: entities on sublanes, envs on lanes
+    tr = lambda a: a.T
+    xs_t, ys_t = tr(pad_coord(xs)), tr(pad_coord(ys))
+    sz_t = tr(pad_attr(sz, _PAD_SIZE))
+    minv_t = tr(pad_attr(minv, 1.0))
+    wm_t = tr(pad_attr(wm, 0.0))
+    om_t = tr(pad_attr(om, 1.0))
 
     cutoff = float(2.0 * np.max(np.where(collide, cfg.size, 0.0)) +
                    CUTOFF_K * cfg.contact_margin)
-    grid = (Bp // batch_tile, Ep // row_tile, Ep // col_tile)
+    grid = (Bp // LANE, Ep // row_tile, Ep // col_tile)
     kernel = functools.partial(
         _kernel,
         k=float(cfg.contact_margin),
@@ -187,13 +198,13 @@ def collision_forces_culled(
         cutoff=cutoff,
     )
     row_spec = lambda: pl.BlockSpec(
-        (batch_tile, row_tile), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+        (row_tile, LANE), lambda b, i, j: (i, b), memory_space=pltpu.VMEM
     )
     col_spec = lambda: pl.BlockSpec(
-        (batch_tile, col_tile), lambda b, i, j: (b, j), memory_space=pltpu.VMEM
+        (col_tile, LANE), lambda b, i, j: (j, b), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (batch_tile, row_tile), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+        (row_tile, LANE), lambda b, i, j: (i, b), memory_space=pltpu.VMEM
     )
     fx, fy = pl.pallas_call(
         kernel,
@@ -202,15 +213,15 @@ def collision_forces_culled(
                   col_spec(), col_spec(), col_spec(), col_spec(), col_spec()],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((Ep, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Ep, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(xs_p, ys_p, sz_p, minv_p, xs_p, ys_p, sz_p, wm_p, om_p)
+    )(xs_t, ys_t, sz_t, minv_t, xs_t, ys_t, sz_t, wm_t, om_t)
 
-    # receiver gate (core.py:319-321) + unsort back to entity order
-    fx = fx[:B, :E] * mov
-    fy = fy[:B, :E] * mov
+    # back to [B, E]; receiver gate (core.py:319-321); unsort to entity order
+    fx = fx.T[:B, :E] * mov
+    fy = fy.T[:B, :E] * mov
     inv = jnp.argsort(order, axis=-1)
     f = jnp.stack([fx, fy], axis=-1)
     return jnp.take_along_axis(f, inv[..., None], axis=1).astype(pos.dtype)
