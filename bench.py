@@ -22,6 +22,9 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import gym_formation_tpu as ft  # noqa: E402
+from gym_formation_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 BASELINE_STEPS_PER_SEC = 1_000_000.0
 

@@ -20,6 +20,64 @@ import numpy as np
 
 import gym_formation_tpu as ft
 from gym_formation_tpu.render import render_state, save_gif
+from gym_formation_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def run_interactive(env, args, key):
+    """Human-in-the-loop stepping: arrow keys drive agent 0, the remaining
+    agents run the scripted ezpolicy — the reference's interactive surface
+    (``/root/reference/policy.py:13-52`` bound through ``test.py:14-29``),
+    rebuilt on matplotlib.
+
+    The interactive 5-slot move vector decodes with the reference's one-hot
+    semantics (``environment.py:208-214``: u = [a[1]−a[2], a[3]−a[4]],
+    including the left-key→+x MPE quirk).  Runs headless (Agg backend) for
+    smoke tests; with a display it opens a live window.
+    """
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    from gym_formation_tpu.policy import InteractivePolicy
+
+    interactive_backend = matplotlib.get_backend().lower() != "agg" and bool(
+        os.environ.get("DISPLAY") or sys.platform == "darwin"
+    )
+    if not interactive_backend:
+        matplotlib.use("Agg")
+        print("no display: running the interactive loop headless (Agg)")
+
+    pol, fig = InteractivePolicy.with_display(dim_c=0)
+    ax = fig.add_subplot(111)
+    ax.set_axis_off()
+    fig.suptitle("arrow keys drive agent 0 (red); others: ezpolicy")
+
+    reset = jax.jit(env.reset)
+    state, obs = reset(key)
+
+    @jax.jit
+    def step_with_human(state, obs, u0):
+        acts = ft.ezpolicy_batched(obs).at[0].set(u0)
+        return env.step(state, acts)
+
+    im = ax.imshow(np.asarray(render_state(env.scenario, state, size=350)))
+    if interactive_backend:
+        plt.ion()
+        plt.show(block=False)
+    for t in range(args.steps):
+        a = pol.action()
+        u0 = np.asarray([a[1] - a[2], a[3] - a[4]], np.float32)
+        state, out = step_with_human(state, obs, u0)
+        obs = out.obs
+        im.set_data(np.asarray(render_state(env.scenario, state, size=350)))
+        fig.canvas.draw_idle()
+        # pause services the GUI event loop → key events reach the policy
+        plt.pause(0.05 if interactive_backend else 0.001)
+        if bool(out.done.all()):
+            state, obs = reset(jax.random.fold_in(key, t))
+    plt.close(fig)
+    print(f"interactive session done ({args.steps} steps)")
 
 
 def main():
@@ -31,11 +89,19 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--gif", default=None, help="write a GIF here")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="live matplotlib window: arrow keys drive agent 0, the rest run "
+        "ezpolicy (the reference's test.py + InteractivePolicy loop)",
+    )
     args = p.parse_args()
 
     total_agents = args.num_agents**args.num_layer
     env = ft.make_env(args.scenario, num_agents=total_agents, auto_reset=False)
     key = jax.random.PRNGKey(args.seed)
+    if args.interactive:
+        run_interactive(env, args, key)
+        return
     reset = jax.jit(env.reset)
     state, obs = reset(key)
 

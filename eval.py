@@ -36,7 +36,9 @@ from gym_formation_tpu.algos.registry import (
     make_algo,
 )
 from gym_formation_tpu.render import render_state, save_gif
-from gym_formation_tpu.utils import restore_raw
+from gym_formation_tpu.utils import enable_compilation_cache, restore_raw
+
+enable_compilation_cache()
 
 
 def main():

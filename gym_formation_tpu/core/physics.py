@@ -35,7 +35,44 @@ Array = jnp.ndarray
 # 'off' forces XLA.
 _PALLAS_MODE = "auto"
 _PALLAS_MIN_ENTITIES = 128
-_pallas_fns = {}
+
+
+class _DispatchCache:
+    """Bounded LRU for the per-cfg custom-vmap wrappers.
+
+    Entries are ``key -> (owner, fn)`` where ``owner`` (the WorldCfg or
+    scenario) is kept alive on purpose: keys are ``id()``-based, so an entry
+    is valid only while its owner is.  The bound keeps a long-lived process
+    that constructs scenarios in a loop from leaking one closure (plus its
+    owner) per construction — evicted entries are simply re-built on the next
+    dispatch."""
+
+    def __init__(self, maxsize: int = 64):
+        from collections import OrderedDict
+
+        self.maxsize = maxsize
+        self._d = OrderedDict()
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
+_pallas_fns = _DispatchCache()
 
 # Kernel implementation selector: 'dense' = ops/pallas/pairforce.py (every
 # pair evaluated), 'cull' = ops/pallas/pairforce_cull.py (Morton-sorted tiles,

@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 import gym_formation_tpu as ft
 from gym_formation_tpu.core import physics
+from gym_formation_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def bench_kernel(args):

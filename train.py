@@ -29,10 +29,13 @@ from gym_formation_tpu.algos.registry import (
 )
 from gym_formation_tpu.utils import (
     MetricsLogger,
+    enable_compilation_cache,
     latest_step,
     restore_checkpoint,
     save_checkpoint,
 )
+
+enable_compilation_cache()
 
 
 def build(args, env):
