@@ -234,9 +234,15 @@ class MAPPO:
             action = self._dist_sample(k_act, dist)
             logp = self._dist_logp(dist, action)  # [B,N]
             env_state, out = jax.vmap(self.env.step)(env_state, action)
+            # share_obs is NOT stored: it is a reshape of obs, so the update
+            # derives it from the minibatch (see _loss) instead of holding a
+            # second [T·B, N·do] copy of the same bytes in HBM — at N=243
+            # that copy alone is ~1.1 GB per 800-step trajectory and halved
+            # the single-chip env ceiling (reference onpolicy's separate
+            # share_obs buffer, train/mappo/train_formation.py:146-151, is a
+            # CPU-RAM design choice this layout does not inherit).
             traj = {
                 "obs": obs,
-                "share_obs": share_obs,
                 "action": action,
                 "logp": logp,
                 "value": value,
@@ -295,7 +301,8 @@ class MAPPO:
     # -- update -------------------------------------------------------------
     def _loss(self, params, batch, vn: ValueNorm):
         cfg = self.cfg
-        dist = self._apply_actor(params["actor"], batch["obs"])  # [M,N,da]
+        obs = batch["obs"]
+        dist = self._apply_actor(params["actor"], obs)  # [M,N,da]
         logp = self._dist_logp(dist, batch["action"])  # [M,N]
         # clamp the log-ratio: a policy far from the behavior policy after
         # many epochs otherwise overflows exp() into inf/NaN gradients
@@ -308,7 +315,9 @@ class MAPPO:
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
         entropy = self._dist_entropy(dist)
 
-        value = self._apply_critic(params["critic"], batch["share_obs"])
+        # derived, not stored: identical bytes to the rollout-time share_obs
+        share_obs = obs.reshape(obs.shape[0], -1)
+        value = self._apply_critic(params["critic"], share_obs)
         target = batch["target"]
         v_old = batch["value"]
         v_clip = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)
@@ -332,18 +341,25 @@ class MAPPO:
         M = cfg.rollout_len * self.num_envs
         mb = M // cfg.num_minibatches
 
+        def do_update(ts, batch):
+            grads, metrics = jax.grad(self._loss, has_aux=True)(
+                ts.params, batch, ts.value_norm
+            )
+            updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            return ts.replace(params=params, opt_state=opt_state), metrics
+
         def epoch_fn(carry, k_epoch):
             ts = carry
+            if cfg.num_minibatches == 1:
+                # single minibatch: shuffling is a no-op for the gradient, and
+                # the permutation gather would materialize a full trajectory
+                # copy (≈4.5 GB at N=243 × 128 envs) — use the data in place
+                return do_update(ts, data)
             perm = jax.random.permutation(k_epoch, M)
 
             def mb_fn(ts, idx):
-                batch = jax.tree.map(lambda x: x[idx], data)
-                grads, metrics = jax.grad(self._loss, has_aux=True)(
-                    ts.params, batch, ts.value_norm
-                )
-                updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
-                params = optax.apply_updates(ts.params, updates)
-                return ts.replace(params=params, opt_state=opt_state), metrics
+                return do_update(ts, jax.tree.map(lambda x: x[idx], data))
 
             ts, metrics = jax.lax.scan(
                 mb_fn, ts, perm.reshape(cfg.num_minibatches, mb)
@@ -379,7 +395,6 @@ class MAPPO:
         flat = lambda x: x.reshape((cfg.rollout_len * self.num_envs,) + x.shape[2:])
         data = {
             "obs": flat(traj["obs"]),
-            "share_obs": flat(traj["share_obs"]),
             "action": flat(traj["action"]),
             "logp": flat(traj["logp"]),
             "value": flat(traj["value"]),

@@ -119,9 +119,10 @@ class RMAPPO(MAPPO):
             logp = self._dist_logp(dist, action)
             env_state, out = jax.vmap(self.env.step)(env_state, action)
             done = out.done[:, 0]
+            # share_obs is NOT stored — it is a reshape of obs, re-derived in
+            # _loss (same memory-halving rationale as MAPPO._collect)
             traj = {
                 "obs": obs,
-                "share_obs": share_obs,
                 "action": action,
                 "logp": logp,
                 "value": value,
@@ -161,7 +162,8 @@ class RMAPPO(MAPPO):
 
         def scan_net(c, inp):
             h_a, h_c = c
-            obs, sobs, reset = inp["obs"], inp["share_obs"], inp["reset"]
+            obs, reset = inp["obs"], inp["reset"]
+            sobs = obs.reshape(obs.shape[0], -1)  # derived, not stored
             reset_n = jnp.broadcast_to(reset[:, None], obs.shape[:2])
             h_a, dist = self.actor.apply(params["actor"], h_a, obs, reset_n)
             h_c, value = self.critic.apply(params["critic"], h_c, sobs, reset)
@@ -170,7 +172,7 @@ class RMAPPO(MAPPO):
         (_, _), (dist, value) = jax.lax.scan(
             scan_net,
             (batch["h_actor0"], batch["h_critic0"]),
-            {k: batch[k] for k in ("obs", "share_obs", "reset")},
+            {k: batch[k] for k in ("obs", "reset")},
         )
         logp = self._dist_logp(dist, batch["action"])  # [L,m,N]
         # clamp the log-ratio: a policy far from the behavior policy after
@@ -222,7 +224,7 @@ class RMAPPO(MAPPO):
         chunked = {
             k: chunk(data[k])
             for k in (
-                "obs", "share_obs", "action", "logp", "value", "adv",
+                "obs", "action", "logp", "value", "adv",
                 "target", "reset",
             )
         }

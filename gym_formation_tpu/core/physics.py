@@ -77,9 +77,17 @@ _pallas_fns = _DispatchCache()
 # Kernel implementation selector: 'dense' = ops/pallas/pairforce.py (every
 # pair evaluated), 'cull' = ops/pallas/pairforce_cull.py (Morton-sorted tiles,
 # pair math skipped for tile pairs provably beyond the contact cutoff).
-# Both are parity-tested against the f64 oracle in tests/test_pallas.py;
-# 'auto' currently picks dense (the cull kernel's win depends on entity
-# density — select it explicitly where measured faster).
+# Both are parity-tested against the f64 oracle in tests/test_pallas.py.
+# 'auto' picks dense: measured on v5e at the N=243 BASELINE density (E=486,
+# B=1024) the cull kernel LOSES 9x (35.1 ms vs dense 3.9 ms) — its per-call
+# Morton argsort + gather/unsort wrapper alone costs 16.9 ms, and the
+# any-over-128-env-lanes bounding-box predicate only skips 21% of 32-entity
+# tiles (40% at 8) because env layouts are independent, so the >99%
+# per-env-pair sparsity never materializes at tile granularity.  The lever
+# that does pay is exact and static: only entities with collide=True
+# participate (landmarks don't in the hd scenarios), so collision_forces
+# statically restricts the pair computation to that subset — 4x fewer pairs
+# at N=243 with no sort, no gather, bit-neutral (see _collide_subset).
 _PALLAS_IMPL = "auto"
 
 
@@ -163,11 +171,81 @@ def _collision_forces_dispatch(cfg: WorldCfg):
     return fn
 
 
+def _collide_subset(cfg: WorldCfg):
+    """Static restriction of the pair computation to colliding entities.
+
+    A pair contributes force only when BOTH ends have ``collide=True``
+    (reference ``core.py:296-299`` returns early otherwise), and the
+    membership is compile-time static.  In the hd scenarios landmarks don't
+    collide, so at N=243 the live pair set is [243,243] of the [486,486]
+    matrix — a 4x reduction with no sorting and bit-identical results
+    (excluded pairs contribute exactly 0.0 in the full-matrix form).
+
+    Returns ``None`` when every entity collides (no restriction), else
+    ``(lo, hi, idx, sub_cfg)`` where ``lo:hi`` is used when the subset is
+    contiguous (``idx`` is None) and ``idx`` is a static fancy index
+    otherwise.
+    """
+    key = ("subset", id(cfg))
+    hit = _pallas_fns.get(key)
+    if hit is not None and hit[0] is cfg:
+        return hit[1]
+
+    collide = np.asarray(cfg.collide, bool)
+    idx = np.where(collide)[0]
+    if len(idx) == cfg.n_entities:
+        result = None
+    elif len(idx) == 0:
+        result = (0, 0, None, None)
+    else:
+        import dataclasses
+
+        k = len(idx)
+        pick = lambda a: None if a is None else np.asarray(a)[idx]
+        sub_cfg = dataclasses.replace(
+            cfg,
+            n_agents=k,
+            n_landmarks=0,
+            size=pick(cfg.size),
+            movable=pick(cfg.movable),
+            collide=pick(cfg.collide),
+            mass=pick(cfg.mass),
+            max_speed=pick(cfg.max_speed),
+            # agent-only arrays are never read by the collision kernels; keep
+            # them shape-consistent with the subset entity count
+            act_coef=np.zeros(k),
+            u_noise=np.zeros(k),
+            c_noise=np.zeros(k),
+            silent=np.ones(k, bool),
+            sensitivity=np.ones(k),
+        )
+        contiguous = bool(np.all(np.diff(idx) == 1))
+        result = (
+            (int(idx[0]), int(idx[-1]) + 1, None, sub_cfg)
+            if contiguous
+            else (0, 0, idx, sub_cfg)
+        )
+    _pallas_fns[key] = (cfg, result)
+    return result
+
+
 def collision_forces(pos: Array, cfg: WorldCfg) -> Array:
     """Pairwise soft-contact forces (see :func:`_collision_forces_xla`).
-    Under ``vmap`` this dispatches to the fused Pallas kernel for large
-    entity counts on TPU."""
-    return _collision_forces_dispatch(cfg)(pos)
+
+    The computation is statically restricted to the colliding-entity subset
+    (:func:`_collide_subset`); under ``vmap`` it dispatches to the fused
+    Pallas kernel for large entity counts on TPU."""
+    sub = _collide_subset(cfg)
+    if sub is None:
+        return _collision_forces_dispatch(cfg)(pos)
+    lo, hi, idx, sub_cfg = sub
+    if sub_cfg is None:  # nothing collides
+        return jnp.zeros_like(pos)
+    if idx is None:
+        f = _collision_forces_dispatch(sub_cfg)(pos[lo:hi])
+        return jnp.zeros_like(pos).at[lo:hi].set(f)
+    f = _collision_forces_dispatch(sub_cfg)(pos[idx])
+    return jnp.zeros_like(pos).at[idx].set(f)
 
 
 def _collision_forces_xla(pos: Array, cfg: WorldCfg) -> Array:

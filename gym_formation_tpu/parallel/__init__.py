@@ -7,7 +7,13 @@ from .mesh import (
     shard_batch,
     shard_train_tuple,
 )
-from .multihost import initialize_multihost, per_host_batch, pod_mesh
+from .multihost import (
+    host_local_to_global,
+    initialize_multihost,
+    per_host_batch,
+    pod_mesh,
+    replicate_global,
+)
 
 __all__ = [
     "batch_sharding",
@@ -17,7 +23,9 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_train_tuple",
+    "host_local_to_global",
     "initialize_multihost",
     "per_host_batch",
     "pod_mesh",
+    "replicate_global",
 ]

@@ -7,16 +7,21 @@ wires the processes, the mesh spans all devices of the pod slice, and the env
 batch shards over it — rollouts are embarrassingly parallel over ICI/DCN and
 learner gradients reduce via the collectives XLA inserts under pjit.
 
-This module cannot be exercised on single-host CI (the driver dry-runs the
-sharded program on a virtual CPU mesh instead — ``__graft_entry__``); it is
-the documented entry point for real pods.
+Executed in CI by ``tests/test_sharding.py::test_multiprocess_train_step``:
+two OS processes federate over a localhost coordinator (CPU backend, 4
+virtual devices each), run one sharded MAPPO train_step through
+:func:`initialize_multihost` / :func:`pod_mesh` / :func:`per_host_batch` /
+:func:`host_local_to_global`, and the metrics match the single-process
+8-device run bit-for-bit.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_mesh
 
@@ -53,3 +58,33 @@ def per_host_batch(global_batch: int) -> int:
     p = jax.process_count()
     assert global_batch % p == 0, (global_batch, p)
     return global_batch // p
+
+
+def host_local_to_global(tree, mesh: Mesh, axis: str = "data"):
+    """Assemble a global batch-sharded pytree from per-host local shards.
+
+    Each process passes the ``per_host_batch``-sized slice it generated; the
+    result is one global array per leaf, batch-sharded over ``axis`` across
+    every device in the pod (the multi-process analogue of
+    :func:`~gym_formation_tpu.parallel.mesh.shard_batch`).  Rank-0 leaves are
+    replicated and must be identical on every process."""
+
+    def place(x):
+        if np.ndim(x) == 0:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), np.asarray(x)
+            )
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis)), np.asarray(x)
+        )
+
+    return jax.tree.map(place, tree)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate identical host data (e.g. network params) onto every device
+    of the pod as global arrays."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), tree
+    )
