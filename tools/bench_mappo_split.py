@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Split-time the MAPPO train iteration: collection scan vs PPO update.
+
+Grounds the VERDICT r2 item-4 work (closing the bench-vs-training gap at
+small N): before fusing anything, measure where the 16.9 ms/iter actually
+goes.  Honest timing per CLAUDE.md: pipelined windows closed by a host
+value fetch of a run-dependent quantity, finiteness asserted.
+
+Usage: python tools/bench_mappo_split.py [-n 3] [-B 1024] [--iters 32]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+from gym_formation_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def timed(tag, fn, state, iters, fetch):
+    out = fn(state)  # warmup/compile
+    v = float(fetch(out))
+    assert math.isfinite(v), (tag, v)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(out if isinstance(out, type(state)) else state)
+    v = float(fetch(out))
+    dt = time.perf_counter() - t0
+    assert math.isfinite(v), (tag, v)
+    print(f"{tag:>28}: {dt / iters * 1e3:8.2f} ms/iter", flush=True)
+    return dt / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-n", "--num-agents", type=int, default=3)
+    p.add_argument("-B", "--num-envs", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=32)
+    args = p.parse_args()
+
+    env = ft.make_env("formation_hd_env", num_agents=args.num_agents)
+    algo = MAPPO(env, MAPPOConfig(), num_envs=args.num_envs)
+    ts, es, obs = algo.init(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+
+    # full train_step (chained through its own outputs)
+    @jax.jit
+    def full(carry):
+        ts, es, obs = carry
+        ts, es, obs, m = algo.train_step(ts, es, obs, key)
+        return (ts, es, obs, m["v_loss"])
+
+    st = (ts, es, obs)
+    out = full(st)
+    v = float(out[3])
+    assert math.isfinite(v)
+    t0 = time.perf_counter()
+    o = st
+    for _ in range(args.iters):
+        o = full(o[:3]) if len(o) == 4 else full(o)
+    v = float(o[3])
+    dt_full = (time.perf_counter() - t0) / args.iters
+    assert math.isfinite(v)
+    print(f"{'full train_step':>28}: {dt_full * 1e3:8.2f} ms/iter", flush=True)
+
+    # collection only
+    @jax.jit
+    def collect(carry):
+        es, obs = carry
+        es2, obs2, traj, bench, last_v = algo._collect(ts, es, obs, key)
+        return (es2, obs2, traj["reward"].sum() + last_v.sum())
+
+    c = collect((es, obs))
+    v = float(c[2])
+    assert math.isfinite(v)
+    t0 = time.perf_counter()
+    cc = (es, obs)
+    for _ in range(args.iters):
+        r = collect(cc)
+        cc = (r[0], r[1])
+    v = float(r[2])
+    dt_col = (time.perf_counter() - t0) / args.iters
+    assert math.isfinite(v)
+    print(f"{'collect scan only':>28}: {dt_col * 1e3:8.2f} ms/iter", flush=True)
+
+    print(
+        f"{'implied update+GAE':>28}: {(dt_full - dt_col) * 1e3:8.2f} ms/iter",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
