@@ -71,14 +71,17 @@ def main():
     env = ft.make_env(args.scenario, num_agents=args.num_agents)
     B, T = args.num_envs, args.chunk
 
-    use_fused = args.fused == "on" or (
-        args.fused == "auto"
-        and args.scenario == "formation_hd_env"
-        and args.policy == "ezpolicy"
-        and not args.mesh
-        and jax.default_backend() == "tpu"
-        and B % 512 == 0
-    )
+    use_fused = (
+        args.fused == "on"
+        or (
+            args.fused == "auto"
+            and args.scenario == "formation_hd_env"
+            and args.policy == "ezpolicy"
+            and not args.mesh
+            and jax.default_backend() == "tpu"
+            and B % 512 == 0
+        )
+    ) and args.scenario == "formation_hd_env"
     if use_fused:
         import math
         from functools import partial
@@ -88,16 +91,54 @@ def main():
             state_to_soa,
         )
 
-        run = jax.jit(
-            partial(
-                fused_rollout_hd,
-                length=T,
-                ep_len=env.world_length,
-                n=args.num_agents,
-                block=512,
-                interpret=jax.default_backend() != "tpu",
-            )
+        fused = partial(
+            fused_rollout_hd,
+            length=T,
+            ep_len=env.world_length,
+            n=args.num_agents,
+            block=512,
+            interpret=jax.default_backend() != "tpu",
         )
+        if args.mesh:
+            # compose with the data mesh: each shard runs the kernel on its
+            # B/DP slice of envs — rollouts have no cross-env coupling, so
+            # shard_map is exact (weak-scaling axis, zero collective traffic)
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            from gym_formation_tpu.ops.pallas.fused_rollout import SoAState
+            from gym_formation_tpu.parallel import make_mesh
+
+            assert (B // args.mesh) % 512 == 0, (
+                f"--fused with --mesh needs 512 envs per device; got "
+                f"{B}/{args.mesh}"
+            )
+            mesh = make_mesh(
+                (args.mesh,), ("data",), devices=jax.devices()[: args.mesh]
+            )
+            plane = SoAState(*([P(None, "data")] * 5))
+
+            def _sharded(soa, seed):
+                # distinct RNG stream per shard: the kernel's lane index
+                # restarts at 0 in every shard, so offset the seed instead
+                return fused(
+                    soa, seed + jax.lax.axis_index("data") * jnp.int32(7919)
+                )
+
+            run = jax.jit(
+                shard_map(
+                    _sharded,
+                    mesh=mesh,
+                    in_specs=(plane, P()),
+                    out_specs=(plane, P("data")),
+                    # pallas_call's ShapeDtypeStruct outputs carry no vma
+                    # annotation; the kernel is per-shard pure so skip the
+                    # varying-across-mesh check
+                    check_vma=False,
+                )
+            )
+        else:
+            run = jax.jit(fused)
         soa = jax.jit(state_to_soa)(
             jax.jit(jax.vmap(lambda k: env.reset(k)[0]))(
                 jax.random.split(jax.random.PRNGKey(0), B)
