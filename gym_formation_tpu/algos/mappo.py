@@ -62,6 +62,11 @@ class MAPPOConfig:
     # False = per-agent stacked params (the separated runner,
     # ``train/mappo/train_formation.py:146-151``)
     share_policy: bool = True
+    # Run the collection phase as ONE Pallas kernel (obs construction, actor
+    # + critic MLPs on the MXU, Gaussian sampling, physics, reward,
+    # auto-reset — ops/pallas/fused_collect.py).  formation_hd_env +
+    # continuous shared policy only; parity in tests/test_fused_collect.py.
+    fused_collect: bool = False
 
 
 @struct.dataclass
@@ -267,6 +272,52 @@ class MAPPO:
         )
         return env_state, obs, traj, bench, last_value
 
+    def _collect_fused(self, ts: MAPPOState, env_state, obs, key):
+        """Fused-kernel collection: same trajectory contract as
+        :meth:`_collect`, with the whole per-step pipeline (obs → actor →
+        sample → physics → reward → reset) in one Pallas program and the
+        network weights VMEM-resident across the rollout.  The sampling
+        stream is the kernel's counter RNG (a different — equally valid —
+        draw of the same policy distribution than jax.random)."""
+        from ..ops.pallas.fused_collect import (
+            actor_planes,
+            critic_planes,
+            fused_collect_hd,
+        )
+        from ..ops.pallas.fused_rollout import soa_to_state, state_to_soa
+
+        scen = self.env.scenario
+        assert scen.name == "formation_hd_env", scen.name
+        assert self.cfg.share_policy and not self.discrete
+        assert self.env.auto_reset and not self.env.benchmark
+        B, N = self.num_envs, self.n_agents
+        block = 512 if B % 512 == 0 else B
+
+        key, k_seed, k_state = jax.random.split(key, 3)
+        seed = jax.random.randint(k_seed, (), 0, jnp.iinfo(jnp.int32).max)
+        soa, traj = fused_collect_hd(
+            state_to_soa(env_state),
+            actor_planes(ts.params["actor"]),
+            critic_planes(ts.params["critic"]),
+            seed,
+            length=self.cfg.rollout_len,
+            ep_len=self.env.world_length,
+            n=N,
+            block=block,
+            interpret=jax.default_backend() != "tpu",
+        )
+        env_state = soa_to_state(soa, env_state)
+        # fresh per-env keys: the kernel consumed its own stream; keep the
+        # XLA-side chain advancing for any later non-fused consumer
+        env_state = env_state.replace(
+            key=jax.random.split(k_state, B)
+        )
+        obs = jax.vmap(scen.observe)(env_state)
+        last_value = self._apply_critic(
+            ts.params["critic"], obs.reshape(B, N * self.obs_dim)
+        )
+        return env_state, obs, traj, {}, last_value
+
     def _gae(self, ts: MAPPOState, traj, last_value):
         """GAE over the scan axis, in *raw* return space (values are stored in
         normalized space when value_norm is on)."""
@@ -378,7 +429,8 @@ class MAPPO:
         """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
         cfg = self.cfg
         k_roll, k_upd = jax.random.split(key)
-        env_state, obs, traj, bench, last_value = self._collect(
+        collect = self._collect_fused if cfg.fused_collect else self._collect
+        env_state, obs, traj, bench, last_value = collect(
             ts, env_state, obs, k_roll
         )
         adv, returns = self._gae(ts, traj, last_value)

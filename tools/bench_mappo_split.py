@@ -46,10 +46,14 @@ def main():
     p.add_argument("-n", "--num-agents", type=int, default=3)
     p.add_argument("-B", "--num-envs", type=int, default=1024)
     p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--fused", action="store_true",
+                   help="fused-collection kernel (ops/pallas/fused_collect)")
     args = p.parse_args()
 
     env = ft.make_env("formation_hd_env", num_agents=args.num_agents)
-    algo = MAPPO(env, MAPPOConfig(), num_envs=args.num_envs)
+    algo = MAPPO(
+        env, MAPPOConfig(fused_collect=args.fused), num_envs=args.num_envs
+    )
     ts, es, obs = algo.init(jax.random.PRNGKey(0))
 
     key = jax.random.PRNGKey(1)
@@ -75,10 +79,12 @@ def main():
     print(f"{'full train_step':>28}: {dt_full * 1e3:8.2f} ms/iter", flush=True)
 
     # collection only
+    collect_fn = algo._collect_fused if args.fused else algo._collect
+
     @jax.jit
     def collect(carry):
         es, obs = carry
-        es2, obs2, traj, bench, last_v = algo._collect(ts, es, obs, key)
+        es2, obs2, traj, bench, last_v = collect_fn(ts, es, obs, key)
         return (es2, obs2, traj["reward"].sum() + last_v.sum())
 
     c = collect((es, obs))
