@@ -67,6 +67,11 @@ class MAPPOConfig:
     # auto-reset — ops/pallas/fused_collect.py).  formation_hd_env +
     # continuous shared policy only; parity in tests/test_fused_collect.py.
     fused_collect: bool = False
+    # Compute each PPO epoch's gradients in ONE Pallas kernel (fwd + handwritten
+    # bwd on the MXU, ops/pallas/fused_ppo_grad.py) instead of jax.grad's
+    # hundreds of small XLA kernels.  Continuous shared policy,
+    # num_minibatches=1 only; gradient parity in tests/test_fused_ppo_grad.py.
+    fused_update: bool = False
 
 
 @struct.dataclass
@@ -423,6 +428,104 @@ class MAPPO:
         metrics = jax.tree.map(jnp.mean, metrics)
         return ts, metrics
 
+    def _update_fused(self, ts: MAPPOState, data, key):
+        """PPO epochs with the fused gradient kernel: identical math to
+        :meth:`_update` (minus sample shuffling, a no-op at one minibatch),
+        with each epoch's full actor+critic gradient computed by one Pallas
+        program."""
+        from ..models.networks import gaussian_entropy, soft_bound
+        from ..ops.pallas.fused_ppo_grad import fused_ppo_grads
+
+        cfg = self.cfg
+        assert cfg.share_policy and not self.discrete
+        assert cfg.num_minibatches == 1
+        del key  # no permutation at a single minibatch
+
+        def epoch_fn(ts, _):
+            grads, metrics = self._fused_epoch_grads(ts.params, data)
+            updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            return ts.replace(params=params, opt_state=opt_state), metrics
+
+        ts, metrics = jax.lax.scan(epoch_fn, ts, None, length=cfg.ppo_epochs)
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    def _fused_epoch_grads(self, params, data):
+        """One epoch's (grads, metrics) via the fused kernel — gradient-
+        matched to ``jax.grad(self._loss)`` (tests/test_fused_ppo_grad.py)."""
+        from ..models.networks import gaussian_entropy, soft_bound
+        from ..ops.pallas.fused_ppo_grad import fused_ppo_grads
+
+        cfg = self.cfg
+        M = cfg.rollout_len * self.num_envs
+        interp = jax.default_backend() != "tpu"
+        pa = params["actor"]["params"]
+        pc = params["critic"]["params"]
+        ls_raw = pa["log_std"]
+        ls_b = soft_bound(ls_raw, -5.0, 2.0)
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        actor_ops = (
+            f(pa["MLP_0"]["Dense_0"]["kernel"]),
+            f(pa["MLP_0"]["Dense_0"]["bias"])[None],
+            f(pa["MLP_0"]["Dense_1"]["kernel"]),
+            f(pa["MLP_0"]["Dense_1"]["bias"])[None],
+            f(pa["Dense_0"]["kernel"]),
+            f(pa["Dense_0"]["bias"])[None],
+            f(ls_b)[None],
+        )
+        critic_ops = (
+            f(pc["MLP_0"]["Dense_0"]["kernel"]),
+            f(pc["MLP_0"]["Dense_0"]["bias"])[None],
+            f(pc["MLP_0"]["Dense_1"]["kernel"]),
+            f(pc["MLP_0"]["Dense_1"]["bias"])[None],
+            f(pc["Dense_0"]["kernel"]),
+            f(pc["Dense_0"]["bias"])[None],
+        )
+        ga, gc, met = fused_ppo_grads(
+            {k: data[k] for k in
+             ("obs", "action", "logp", "adv", "value", "target")},
+            actor_ops, critic_ops,
+            n_agents=self.n_agents, act_dim=self.act_dim,
+            clip_eps=cfg.clip_eps, huber_delta=cfg.huber_delta,
+            value_coef=cfg.value_coef, interpret=interp,
+        )
+        # entropy term: d(-ce·mean Σ_d ls_d)/d ls_d = -ce, then chain the
+        # soft_bound the actor applies to the raw parameter
+        d_ls_b = ga[6][0] - cfg.entropy_coef
+        _, vjp = jax.vjp(lambda p: soft_bound(p, -5.0, 2.0), ls_raw)
+        (d_ls_raw,) = vjp(d_ls_b.astype(ls_raw.dtype))
+        cast = lambda g, p: g.astype(jnp.asarray(p).dtype)
+        grads = {
+            "actor": {"params": {
+                "MLP_0": {
+                    "Dense_0": {"kernel": cast(ga[0], pa["MLP_0"]["Dense_0"]["kernel"]),
+                                "bias": cast(ga[1][0], pa["MLP_0"]["Dense_0"]["bias"])},
+                    "Dense_1": {"kernel": cast(ga[2], pa["MLP_0"]["Dense_1"]["kernel"]),
+                                "bias": cast(ga[3][0], pa["MLP_0"]["Dense_1"]["bias"])},
+                },
+                "Dense_0": {"kernel": cast(ga[4], pa["Dense_0"]["kernel"]),
+                            "bias": cast(ga[5][0], pa["Dense_0"]["bias"])},
+                "log_std": d_ls_raw,
+            }},
+            "critic": {"params": {
+                "MLP_0": {
+                    "Dense_0": {"kernel": cast(gc[0], pc["MLP_0"]["Dense_0"]["kernel"]),
+                                "bias": cast(gc[1][0], pc["MLP_0"]["Dense_0"]["bias"])},
+                    "Dense_1": {"kernel": cast(gc[2], pc["MLP_0"]["Dense_1"]["kernel"]),
+                                "bias": cast(gc[3][0], pc["MLP_0"]["Dense_1"]["bias"])},
+                },
+                "Dense_0": {"kernel": cast(gc[4], pc["Dense_0"]["kernel"]),
+                            "bias": cast(gc[5][0], pc["Dense_0"]["bias"])},
+            }},
+        }
+        metrics = {
+            "pg_loss": met[0] / (M * self.n_agents),
+            "v_loss": met[1] / M,
+            "entropy": jnp.mean(gaussian_entropy(ls_b)),
+            "approx_kl": met[2] / (M * self.n_agents),
+        }
+        return grads, metrics
+
     # -- public api ---------------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def train_step(self, ts: MAPPOState, env_state, obs, key):
@@ -453,7 +556,8 @@ class MAPPO:
             "adv": flat(adv_n),
             "target": flat(target),
         }
-        ts, metrics = self._update(ts, data, k_upd)
+        update = self._update_fused if cfg.fused_update else self._update
+        ts, metrics = update(ts, data, k_upd)
         metrics["mean_step_reward"] = jnp.mean(traj["reward"])
         metrics.update({k: v.mean() for k, v in bench.items()})
         ts = ts.replace(update_i=ts.update_i + 1)

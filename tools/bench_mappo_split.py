@@ -48,11 +48,17 @@ def main():
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--fused", action="store_true",
                    help="fused-collection kernel (ops/pallas/fused_collect)")
+    p.add_argument("--fused-update", action="store_true",
+                   help="fused PPO-grad kernel (ops/pallas/fused_ppo_grad)")
     args = p.parse_args()
 
     env = ft.make_env("formation_hd_env", num_agents=args.num_agents)
     algo = MAPPO(
-        env, MAPPOConfig(fused_collect=args.fused), num_envs=args.num_envs
+        env,
+        MAPPOConfig(
+            fused_collect=args.fused, fused_update=args.fused_update
+        ),
+        num_envs=args.num_envs,
     )
     ts, es, obs = algo.init(jax.random.PRNGKey(0))
 
