@@ -231,7 +231,25 @@ class RMAPPO(MAPPO):
         chunked["h_actor0"] = inits(data["h_actor"])
         chunked["h_critic0"] = inits(data["h_critic"])
 
+        def do_update(ts, batch):
+            grads, metrics = jax.grad(self._loss, has_aux=True)(
+                ts.params, batch, ts.value_norm
+            )
+            updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+            return (
+                ts.replace(
+                    params=optax.apply_updates(ts.params, updates),
+                    opt_state=opt_state,
+                ),
+                metrics,
+            )
+
         def epoch_fn(ts, k_epoch):
+            if cfg.num_minibatches == 1:
+                # single minibatch: shuffling chunks is a gradient no-op and
+                # the permutation gather would copy the full chunked
+                # trajectory every epoch (see MAPPO._update)
+                return do_update(ts, chunked)
             perm = jax.random.permutation(k_epoch, M)
 
             def mb_fn(ts, idx):
@@ -239,17 +257,7 @@ class RMAPPO(MAPPO):
                     k: (v[idx] if k.endswith("0") else v[:, idx])
                     for k, v in chunked.items()
                 }
-                grads, metrics = jax.grad(self._loss, has_aux=True)(
-                    ts.params, batch, ts.value_norm
-                )
-                updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
-                return (
-                    ts.replace(
-                        params=optax.apply_updates(ts.params, updates),
-                        opt_state=opt_state,
-                    ),
-                    metrics,
-                )
+                return do_update(ts, batch)
 
             return jax.lax.scan(mb_fn, ts, perm.reshape(cfg.num_minibatches, mb))
 
