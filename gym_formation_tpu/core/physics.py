@@ -99,19 +99,26 @@ def set_pallas_mode(mode: str) -> None:
 
 
 def set_pallas_impl(impl: str) -> None:
-    assert impl in ("auto", "dense", "cull")
+    assert impl in ("auto", "dense", "cull", "sym")
     global _PALLAS_IMPL
     _PALLAS_IMPL = impl
     _pallas_fns.clear()
 
 
-def _pallas_kernel_fn():
+def _pallas_kernel_fn(cfg: WorldCfg):
     if _PALLAS_IMPL == "cull":
         from ..ops.pallas import collision_forces_culled
 
         return collision_forces_culled
-    from ..ops.pallas import collision_forces_batched
+    from ..ops.pallas import collision_forces_batched, collision_forces_sym
+    from ..ops.pallas.pairforce_sym import sym_applicable
 
+    if _PALLAS_IMPL == "sym" or (_PALLAS_IMPL == "auto" and sym_applicable(cfg)):
+        # Newton's-third-law triangle kernel: measured faster than dense on
+        # v5e at the N=243 hd subset (see RESULTS.md pair-force A/B); exact
+        # only for uniform all-colliding subsets, checked by sym_applicable.
+        if sym_applicable(cfg):
+            return collision_forces_sym
     return collision_forces_batched
 
 
@@ -150,11 +157,11 @@ def _collision_forces_dispatch(cfg: WorldCfg):
         xla = lambda p: jax.vmap(lambda q: _collision_forces_xla(q, cfg))(p)
         if eligible and _PALLAS_MODE == "on":
             # forced: interpret mode keeps the kernel testable off-TPU
-            out = _pallas_kernel_fn()(
+            out = _pallas_kernel_fn(cfg)(
                 pos_b, cfg, interpret=jax.default_backend() != "tpu"
             )
         elif eligible:
-            kern = _pallas_kernel_fn()
+            kern = _pallas_kernel_fn(cfg)
             # auto: select by the platform the computation actually lowers
             # for (not the process default backend — inputs committed to CPU
             # on a TPU-default machine must take the XLA path)

@@ -155,3 +155,42 @@ def test_pallas_dispatch_through_env_step():
     np.testing.assert_allclose(
         np.asarray(out_xla.reward), np.asarray(out_pal.reward), atol=1e-3
     )
+
+
+def test_sym_kernel_matches_f64_oracle():
+    """The Newton's-third-law triangle kernel (ops/pallas/pairforce_sym.py)
+    matches the f64 oracle on its exactness envelope (uniform all-colliding
+    movable entities — the hd colliding subset), both grid variants, odd
+    batch (exercises batch/entity padding) and near-contact pairs."""
+    from gym_formation_tpu.ops.pallas import collision_forces_sym, sym_applicable
+
+    cfg = make_world_cfg(243, 0, agent_size=0.03, landmark_size=0.01)
+    assert sym_applicable(cfg)
+    B = 5
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, 243, 2), jnp.float32, -0.5, 0.5
+    )
+    # force exact-contact and deep-penetration pairs through the kernel
+    pos = pos.at[:, 1].set(pos[:, 0] + jnp.asarray([0.04, 0.0]))
+    pos = pos.at[:, 2].set(pos[:, 0] + jnp.asarray([0.0, 0.0601]))
+    for kw in ({"loop": True, "tile": 16}, {"loop": False, "tile": 32}):
+        out = np.asarray(collision_forces_sym(pos, cfg, interpret=True, **kw))
+        for b in range(B):
+            np.testing.assert_allclose(
+                out[b], _f64_oracle(pos[b], cfg), atol=1e-3, rtol=1e-3
+            )
+
+
+def test_sym_applicability_gate():
+    """sym_applicable rejects heterogeneous worlds (mixed mass/size or
+    non-colliding members), and the auto dispatch still routes them through
+    the dense kernel with correct results."""
+    from gym_formation_tpu.ops.pallas import sym_applicable
+
+    het = make_world_cfg(100, 156, agent_size=0.05, landmark_size=0.04,
+                         landmark_collide=True, landmark_movable=True)
+    assert not sym_applicable(het)  # mixed sizes
+    uni = make_world_cfg(64, 0, agent_size=0.03, landmark_size=0.01)
+    assert sym_applicable(uni)
+    uni.mass[3] = 2.0
+    assert not sym_applicable(uni)

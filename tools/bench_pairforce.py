@@ -39,10 +39,10 @@ def bench_kernel(args):
     )
 
     results = {}
-    variants = [args.only] if args.only else ["xla", "dense", "cull"]
+    variants = [args.only] if args.only else ["xla", "dense", "sym", "cull"]
     for name in variants:
         physics.set_pallas_mode("off" if name == "xla" else "on")
-        physics.set_pallas_impl("dense" if name != "cull" else "cull")
+        physics.set_pallas_impl(name if name in ("cull", "sym") else "dense")
 
         # one small jitted program (fast remote compile); iterations are
         # pipelined from the host and chained through a data dependency so
@@ -76,7 +76,11 @@ def bench_rollout(args):
     n_per_layer = 3
 
     results = {}
-    variants = [args.only] if args.only in ("dense", "cull") else ["dense", "cull"]
+    variants = (
+        [args.only]
+        if args.only in ("dense", "cull", "sym")
+        else ["dense", "sym"]
+    )
     for name in variants:
         physics.set_pallas_mode("auto")
         physics.set_pallas_impl(name)
@@ -125,7 +129,7 @@ def main():
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument(
-        "--only", choices=["xla", "dense", "cull"], default=None,
+        "--only", choices=["xla", "dense", "cull", "sym"], default=None,
         help="run a single variant (one remote compile per process)",
     )
     args = p.parse_args()
