@@ -210,7 +210,7 @@ def _kernel_loop(
 def collision_forces_sym(
     pos: Array,
     cfg: WorldCfg,
-    tile: int = 16,
+    tile: int = 32,
     poly: bool = False,
     loop: bool = True,
     interpret: bool = False,

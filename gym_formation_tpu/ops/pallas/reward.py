@@ -67,12 +67,15 @@ def _kernel(
     axc_i = ax_i - cx
     ayc_i = ay_i - cy
 
-    # agent(row tile) x vertex distances for the Hausdorff reductions
+    # agent(row tile) x vertex SQUARED distances for the Hausdorff
+    # reductions: sqrt is monotone, so min/max commute with it exactly —
+    # the wrapper applies one sqrt to the reduced [B] result instead of
+    # this kernel paying Ti*Np sqrts per cell.  Bit-identical.
     sx = sx_ref[:, :]  # [Bt, Np] ideal-shape x (already centered), pad -_FAR
     sy = sy_ref[:, :]
     dxv = axc_i[:, :, None] - sx[:, None, :]
     dyv = ayc_i[:, :, None] - sy[:, None, :]
-    dav = jnp.sqrt(dxv * dxv + dyv * dyv)  # [Bt, Ti, Np]
+    dav = dxv * dxv + dyv * dyv  # [Bt, Ti, Np] squared distances
     rowmin_ref[:, :] = jnp.min(dav, axis=-1)  # pad vertices at -_FAR: huge
 
     # col_min accumulates across row tiles (TPU grid runs sequentially)
@@ -152,7 +155,9 @@ def hd_reward_stats_batched(
         ],
         interpret=interpret,
     )(ax, ay, sx, sy)
-    haus = jnp.maximum(
-        rowmin[:B, :N].max(axis=1), colmin[:B, :N].max(axis=1)
+    # the kernel reduces SQUARED distances; one sqrt per env here replaces
+    # Ti*Np in-kernel sqrts (monotone: bit-identical result)
+    haus = jnp.sqrt(
+        jnp.maximum(rowmin[:B, :N].max(axis=1), colmin[:B, :N].max(axis=1))
     )
     return haus, ncoll[:B, :N]

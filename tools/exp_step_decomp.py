@@ -70,10 +70,27 @@ def main():
 
         return chunk
 
+    env_noreset = ft.FormationEnv(env.scenario, auto_reset=False)
+
+    def rollout_noreset(policy):
+        def chunk(state, key):
+            def body(carry, _):
+                st, k = carry
+                k, k_act = jax.random.split(k)
+                actions = policy(env.scenario.pre_obs(st), k_act)
+                st, _ = env_noreset.step(st, actions)
+                return (st, k), None
+
+            (state, _), _ = jax.lax.scan(body, (state, key), None, length=T)
+            return state, state.pos.sum()
+
+        return chunk
+
     cases = {
         "full (bfs+physics+reward)": rollout_full(bfs_policy),
         "no-reward (bfs+physics)": rollout_state_only(bfs_policy),
         "no-reward, const-policy (physics)": rollout_state_only(const_policy),
+        "physics, no auto-reset": rollout_noreset(const_policy),
     }
 
     state = jax.jit(jax.vmap(lambda k: env.reset(k)[0]))(
