@@ -113,12 +113,20 @@ def _pallas_kernel_fn(cfg: WorldCfg):
     from ..ops.pallas import collision_forces_batched, collision_forces_sym
     from ..ops.pallas.pairforce_sym import sym_applicable
 
-    if _PALLAS_IMPL == "sym" or (_PALLAS_IMPL == "auto" and sym_applicable(cfg)):
+    if _PALLAS_IMPL == "sym":
+        # forced: the specialization is exact only on its envelope — a silent
+        # dense fallback would let a forced-sym benchmark time dense while
+        # labeled sym (ADVICE r3)
+        assert sym_applicable(cfg), (
+            "set_pallas_impl('sym') forced on a cfg outside the sym kernel's "
+            "exactness envelope (needs uniform mass/size, all collide+movable)"
+        )
+        return collision_forces_sym
+    if _PALLAS_IMPL == "auto" and sym_applicable(cfg):
         # Newton's-third-law triangle kernel: measured faster than dense on
         # v5e at the N=243 hd subset (see RESULTS.md pair-force A/B); exact
         # only for uniform all-colliding subsets, checked by sym_applicable.
-        if sym_applicable(cfg):
-            return collision_forces_sym
+        return collision_forces_sym
     return collision_forces_batched
 
 

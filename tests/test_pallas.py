@@ -171,9 +171,15 @@ def test_sym_kernel_matches_f64_oracle():
         jax.random.PRNGKey(0), (B, 243, 2), jnp.float32, -0.5, 0.5
     )
     # force exact-contact and deep-penetration pairs through the kernel
-    pos = pos.at[:, 1].set(pos[:, 0] + jnp.asarray([0.04, 0.0]))
-    pos = pos.at[:, 2].set(pos[:, 0] + jnp.asarray([0.0, 0.0601]))
-    for kw in ({"loop": True, "tile": 16}, {"loop": False, "tile": 32}):
+    pos = pos.at[:, 1].set(pos[:, 0] + jnp.asarray([0.04, 0.0], jnp.float32))
+    pos = pos.at[:, 2].set(pos[:, 0] + jnp.asarray([0.0, 0.0601], jnp.float32))
+    # the shipping default (loop=True, tile=32 — what the auto dispatch uses
+    # at E=243) is exercised at oracle tolerance, not just via env-step dispatch
+    for kw in (
+        {"loop": True, "tile": 16},
+        {"loop": True, "tile": 32},
+        {"loop": False, "tile": 32},
+    ):
         out = np.asarray(collision_forces_sym(pos, cfg, interpret=True, **kw))
         for b in range(B):
             np.testing.assert_allclose(
