@@ -105,6 +105,21 @@ def set_pallas_impl(impl: str) -> None:
     _pallas_fns.clear()
 
 
+# Reward-stats kernel selector (envs/formation_hd.py:_hd_stats): 'rowmajor' =
+# ops/pallas/reward.py ([Bt, Np] lanes-on-N layout), 'sym' =
+# ops/pallas/reward_sym.py (transposed [N, B] lanes-on-envs layout, triangle-
+# swept collision plane).  'auto' picks sym: measured faster on v5e at the
+# N=243 BASELINE shape (see RESULTS.md round-4 reward-kernel A/B).
+_REWARD_IMPL = "auto"
+
+
+def set_reward_impl(impl: str) -> None:
+    assert impl in ("auto", "rowmajor", "sym")
+    global _REWARD_IMPL
+    _REWARD_IMPL = impl
+    _pallas_fns.clear()
+
+
 def _pallas_kernel_fn(cfg: WorldCfg):
     if _PALLAS_IMPL == "cull":
         from ..ops.pallas import collision_forces_culled

@@ -175,21 +175,21 @@ class FormationHDScenario(Scenario):
                 )
             )
             xla = lambda a, s: jax.vmap(self._hd_stats_xla)(a, s)
+            if _physics._REWARD_IMPL == "rowmajor":
+                from ..ops.pallas.reward import hd_reward_stats_batched as kern
+            else:
+                # 'auto'/'sym': transposed-lane triangle kernel — measured
+                # faster on v5e at the BASELINE shape (RESULTS.md r4 A/B)
+                from ..ops.pallas.reward_sym import hd_reward_stats_sym as kern
             if eligible and _physics._PALLAS_MODE == "on":
-                from ..ops.pallas.reward import hd_reward_stats_batched
-
-                out = hd_reward_stats_batched(
+                out = kern(
                     apos_b, ishape_b, thresh=thresh,
                     interpret=jax.default_backend() != "tpu",
                 )
             elif eligible:
-                from ..ops.pallas.reward import hd_reward_stats_batched
-
                 out = jax.lax.platform_dependent(
                     apos_b, ishape_b,
-                    tpu=lambda a, s: hd_reward_stats_batched(
-                        a, s, thresh=thresh
-                    ),
+                    tpu=lambda a, s: kern(a, s, thresh=thresh),
                     default=xla,
                 )
             else:

@@ -1,0 +1,330 @@
+"""Fused physics + reward step kernel for the hd colliding subset (Pallas/TPU).
+
+One Pallas program per env step computing, on transposed ``[E, B]`` planes
+(envs on the 128-wide lane axis):
+
+1. the Newton's-third-law **triangle force sweep** of
+   :mod:`.pairforce_sym` (each unordered pair once; row sums in registers,
+   column sums in VMEM scratch),
+2. **in-kernel damped-Euler integration** (reference ``core.py:264-277``),
+3. the **reward statistics** of :mod:`.reward_sym` — triangle-swept
+   agent-agent collision counts + one agent-vertex rectangle sweep giving
+   both directed Hausdorff reductions (reference
+   ``formation_hd_env.py:61-75,119-121``).
+
+Two statistics placements (VERDICT r3 task 1b asked for the off-by-one
+variant to be *built and measured*, not rejected in prose):
+
+- ``stats="post"`` — statistics on the **integrated** positions: exactly the
+  current step semantics (physics, then reward on the new state).  Needs a
+  second grid phase because tile i's stats read every tile's new position.
+- ``stats="pre"`` — statistics on the **input** positions: the collision
+  count rides the force sweep's own pair plane (the ``d^2`` it already
+  computed), eliminating one full triangle sweep per step.  The stats then
+  describe the *previous* step's post-physics state, so the caller finalizes
+  reward t-1 during step t and recomputes from carried pre-reset positions
+  on the (rare) steps where an auto-reset fired in between — see
+  :func:`gym_formation_tpu.env.rollout_statepolicy_fused`.
+
+Exactness envelope: :func:`.pairforce_sym.sym_applicable` (uniform mass and
+size, everything collides and moves) plus a uniform collision threshold —
+the hd scenarios' agent subset.  Pad entities park at distinct far-away
+sentinels: zero force (softplus underflow), zero action force (zero-padded),
+zero velocity — so they *stay* at their sentinels through integration and
+never appear in any reward reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.types import WorldCfg
+from .pairforce_sym import sym_applicable
+
+Array = jnp.ndarray
+
+LANE = 128
+_BIG = 1e18
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _haus_sweep(xci, yci, sx_ref, sy_ref, colmin_acc, *, tile, nt):
+    """Rectangle sweep: centered agent row tile (xci, yci) vs every vertex
+    tile.  Returns the row-min [T, BL]; accumulates col-mins into scratch."""
+
+    def body(j, rowmin_i):
+        rj = j * tile
+        dxv = xci[:, None, :] - sx_ref[pl.ds(rj, tile), :][None, :, :]
+        dyv = yci[:, None, :] - sy_ref[pl.ds(rj, tile), :][None, :, :]
+        d2 = dxv * dxv + dyv * dyv
+        colmin_acc[pl.ds(rj, tile), :] = jnp.minimum(
+            colmin_acc[pl.ds(rj, tile), :], jnp.min(d2, axis=0)
+        )
+        return jnp.minimum(rowmin_i, jnp.min(d2, axis=1))
+
+    return jax.lax.fori_loop(
+        0, nt, body, jnp.full((tile, xci.shape[1]), _BIG, jnp.float32)
+    )
+
+
+def _kernel(
+    x_ref, y_ref, vx_ref, vy_ref, fax_ref, fay_ref, sx_ref, sy_ref,
+    nx_ref, ny_ref, nvx_ref, nvy_ref, rowmin_ref, colmin_ref, cnt_ref,
+    accx, accy, cntacc, colacc,
+    *,
+    tile, nt, n, post, k, invk, cf, dmin, thresh2, damping, dt, inv_m,
+    max_speed,
+):
+    ph = pl.program_id(1) if post else 0
+    i = pl.program_id(2) if post else pl.program_id(1)
+
+    @pl.when((ph == 0) & (i == 0))
+    def _init():
+        accx[:, :] = jnp.zeros_like(accx)
+        accy[:, :] = jnp.zeros_like(accy)
+        cntacc[:, :] = jnp.zeros_like(cntacc)
+        colacc[:, :] = jnp.full_like(colacc, _BIG)
+
+    ri = pl.multiple_of(i * tile, tile)
+
+    def pair_block(xi, yi, xj, yj):
+        dx = xi[:, None, :] - xj[None, :, :]  # [T, T, BL]
+        dy = yi[:, None, :] - yj[None, :, :]
+        s = jnp.maximum(dx * dx + dy * dy, 1e-24)
+        r = jax.lax.rsqrt(s)
+        dist = s * r
+        z = (dmin - dist) * invk
+        pen = (jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))) * k
+        return (cf * pen) * r, dx, dy, s
+
+    @pl.when(ph == 0)
+    def _force_phase():
+        xi = x_ref[pl.ds(ri, tile), :]
+        yi = y_ref[pl.ds(ri, tile), :]
+
+        # diagonal block: strict upper triangle (self excluded, each pair once)
+        coef, dx, dy, s = pair_block(xi, yi, xi, yi)
+        tri = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile, 1), 1
+        ) > jax.lax.broadcasted_iota(jnp.int32, (tile, tile, 1), 0)
+        coef = jnp.where(tri, coef, 0.0)
+        fxc = coef * dx
+        fyc = coef * dy
+        accx[pl.ds(ri, tile), :] = accx[pl.ds(ri, tile), :] - jnp.sum(fxc, axis=0)
+        accy[pl.ds(ri, tile), :] = accy[pl.ds(ri, tile), :] - jnp.sum(fyc, axis=0)
+        fx_row = jnp.sum(fxc, axis=1)
+        fy_row = jnp.sum(fyc, axis=1)
+        if not post:  # pre mode: collision count rides the force pair plane
+            hits = jnp.where(tri & (s < thresh2), jnp.float32(1), jnp.float32(0))
+            cnt_row0 = jnp.sum(hits, axis=1) + jnp.sum(hits, axis=0)
+        else:
+            cnt_row0 = jnp.zeros((tile, xi.shape[1]), jnp.float32)
+
+        def body(j, carry):
+            fx_row, fy_row, cnt_row = carry
+            rj = j * tile
+            xj = x_ref[pl.ds(rj, tile), :]
+            yj = y_ref[pl.ds(rj, tile), :]
+            coef, dx, dy, s = pair_block(xi, yi, xj, yj)  # whole block upper
+            fxc = coef * dx
+            fyc = coef * dy
+            accx[pl.ds(rj, tile), :] = accx[pl.ds(rj, tile), :] - jnp.sum(fxc, axis=0)
+            accy[pl.ds(rj, tile), :] = accy[pl.ds(rj, tile), :] - jnp.sum(fyc, axis=0)
+            if not post:
+                hits = (s < thresh2).astype(jnp.float32)
+                cntacc[pl.ds(rj, tile), :] = cntacc[pl.ds(rj, tile), :] + jnp.sum(
+                    hits, axis=0
+                )
+                cnt_row = cnt_row + jnp.sum(hits, axis=1)
+            return fx_row + jnp.sum(fxc, axis=1), fy_row + jnp.sum(fyc, axis=1), cnt_row
+
+        fx_row, fy_row, cnt_row = jax.lax.fori_loop(
+            i + 1, nt, body, (fx_row, fy_row, cnt_row0)
+        )
+        # tile i's pair force is now complete: columns from cells i' < i are
+        # already in the scratch (sequential grid), rows were just computed
+        ftx = accx[pl.ds(ri, tile), :] + fx_row + fax_ref[pl.ds(ri, tile), :]
+        fty = accy[pl.ds(ri, tile), :] + fy_row + fay_ref[pl.ds(ri, tile), :]
+        if not post:
+            cntacc[pl.ds(ri, tile), :] = cntacc[pl.ds(ri, tile), :] + cnt_row
+
+        # damped semi-implicit Euler (core.py:264-277); pads: v=0, f=0 -> stay
+        nvx = vx_ref[pl.ds(ri, tile), :] * (1.0 - damping) + ftx * (inv_m * dt)
+        nvy = vy_ref[pl.ds(ri, tile), :] * (1.0 - damping) + fty * (inv_m * dt)
+        if max_speed is not None:
+            sp2 = jnp.maximum(nvx * nvx + nvy * nvy, 1e-24)
+            rs = jax.lax.rsqrt(sp2)  # 1/speed (eps-guarded like core.py:275)
+            scale = jnp.where(sp2 * rs > max_speed, max_speed * rs, 1.0)
+            nvx = nvx * scale
+            nvy = nvy * scale
+        nvx_ref[pl.ds(ri, tile), :] = nvx
+        nvy_ref[pl.ds(ri, tile), :] = nvy
+        nx_ref[pl.ds(ri, tile), :] = x_ref[pl.ds(ri, tile), :] + nvx * dt
+        ny_ref[pl.ds(ri, tile), :] = y_ref[pl.ds(ri, tile), :] + nvy * dt
+
+        # pre mode: Hausdorff rectangle on the INPUT positions
+        if not post:
+            x = x_ref[:, :]
+            y = y_ref[:, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            real = rows < n
+            cx = jnp.sum(jnp.where(real, x, 0.0), axis=0, keepdims=True) / n
+            cy = jnp.sum(jnp.where(real, y, 0.0), axis=0, keepdims=True) / n
+            xi_c = x_ref[pl.ds(ri, tile), :] - cx
+            yi_c = y_ref[pl.ds(ri, tile), :] - cy
+            rowmin_ref[pl.ds(ri, tile), :] = _haus_sweep(
+                xi_c, yi_c, sx_ref, sy_ref, colacc, tile=tile, nt=nt
+            )
+
+    if post:
+        # phase 1: reward statistics on the integrated positions (read back
+        # from the output refs — block-resident in VMEM for this batch lane)
+        @pl.when(ph == 1)
+        def _stats_phase():
+            nx = nx_ref[:, :]
+            ny = ny_ref[:, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, nx.shape, 0)
+            real = rows < n
+            cx = jnp.sum(jnp.where(real, nx, 0.0), axis=0, keepdims=True) / n
+            cy = jnp.sum(jnp.where(real, ny, 0.0), axis=0, keepdims=True) / n
+            xi = nx_ref[pl.ds(ri, tile), :]
+            yi = ny_ref[pl.ds(ri, tile), :]
+            rowmin_ref[pl.ds(ri, tile), :] = _haus_sweep(
+                xi - cx, yi - cy, sx_ref, sy_ref, colacc, tile=tile, nt=nt
+            )
+            # collision count triangle on new positions
+            dx = xi[:, None, :] - xi[None, :, :]
+            dy = yi[:, None, :] - yi[None, :, :]
+            d2 = dx * dx + dy * dy
+            tri = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, tile, 1), 1
+            ) > jax.lax.broadcasted_iota(jnp.int32, (tile, tile, 1), 0)
+            hits = jnp.where(tri & (d2 < thresh2), jnp.float32(1), jnp.float32(0))
+            cnt_row = jnp.sum(hits, axis=1) + jnp.sum(hits, axis=0)
+
+            def cbody(j, cnt_row):
+                rj = j * tile
+                xj = nx_ref[pl.ds(rj, tile), :]
+                yj = ny_ref[pl.ds(rj, tile), :]
+                dx = xi[:, None, :] - xj[None, :, :]
+                dy = yi[:, None, :] - yj[None, :, :]
+                hits = (dx * dx + dy * dy < thresh2).astype(jnp.float32)
+                cntacc[pl.ds(rj, tile), :] = cntacc[pl.ds(rj, tile), :] + jnp.sum(
+                    hits, axis=0
+                )
+                return cnt_row + jnp.sum(hits, axis=1)
+
+            cnt_row = jax.lax.fori_loop(i + 1, nt, cbody, cnt_row)
+            cntacc[pl.ds(ri, tile), :] = cntacc[pl.ds(ri, tile), :] + cnt_row
+
+    @pl.when((ph == (1 if post else 0)) & (i == nt - 1))
+    def _flush():
+        cnt_ref[:, :] = cntacc[:, :]
+        colmin_ref[:, :] = colacc[:, :]
+
+
+def fused_hd_step(
+    apos: Array,
+    avel: Array,
+    aforce: Array,
+    ishape: Array,
+    cfg: WorldCfg,
+    *,
+    thresh: float,
+    stats: str = "pre",
+    tile: int = 32,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """One fused physics+reward step on the uniform colliding subset.
+
+    Args:
+      apos, avel: [B, N, 2] agent positions / velocities.
+      aforce: [B, N, 2] action forces (control already decoded and scaled —
+        ``act_coef * sensitivity * policy_output``, ``core.py:228-237``).
+      ishape: [B, N, 2] centered ideal shape.
+      cfg: world config for the subset (``sym_applicable`` must hold).
+      thresh: uniform collision-count distance
+        (``(s1+s2)/2`` quirk — ``formation_hd_env.py:119-121``).
+      stats: "post" (reward stats on the integrated positions — current-step
+        semantics) or "pre" (stats on the input positions — the off-by-one
+        plane-sharing variant; see module docstring).
+
+    Returns ``(new_pos [B,N,2], new_vel [B,N,2], haus [B], ncoll [B,N])``
+    where haus/ncoll describe the integrated state for ``stats="post"`` and
+    the *input* state for ``stats="pre"``.
+    """
+    assert cfg.nan_guard, "fused step requires nan_guard"
+    assert sym_applicable(cfg), "fused step requires the uniform subset"
+    assert not cfg.walls, "fused step does not support walls"
+    assert stats in ("pre", "post"), stats
+    B, N, _ = apos.shape
+    Ep = _round_up(N, tile)
+    Bp = _round_up(B, LANE)
+    sent = (jnp.arange(Ep, dtype=jnp.float32) >= N) * (
+        1e4 * (1.0 + jnp.arange(Ep, dtype=jnp.float32))
+    )
+    zero = jnp.zeros_like(sent)
+    pad_t = lambda a, s: (
+        jnp.zeros((Bp, Ep), jnp.float32).at[:B, :N].set(a) + s[None, :]
+    ).T
+    x = pad_t(apos[..., 0], sent)
+    y = pad_t(apos[..., 1], sent)
+    vx = pad_t(avel[..., 0], zero)
+    vy = pad_t(avel[..., 1], zero)
+    fax = pad_t(aforce[..., 0], zero)
+    fay = pad_t(aforce[..., 1], zero)
+    sx = pad_t(ishape[..., 0], -sent)
+    sy = pad_t(ishape[..., 1], -sent)
+
+    nt = Ep // tile
+    post = stats == "post"
+    ms = cfg.max_speed[0] if np.any(np.isfinite(cfg.max_speed)) else None
+    kernel = functools.partial(
+        _kernel,
+        tile=tile,
+        nt=nt,
+        n=N,
+        post=post,
+        k=float(cfg.contact_margin),
+        invk=float(1.0 / cfg.contact_margin),
+        cf=float(cfg.contact_force),
+        dmin=float(2.0 * cfg.size[0]),
+        thresh2=float(thresh) * float(thresh),
+        damping=float(cfg.damping),
+        dt=float(cfg.dt),
+        inv_m=float(1.0 / cfg.mass[0]),
+        max_speed=None if ms is None else float(ms),
+    )
+    if post:
+        grid = (Bp // LANE, 2, nt)
+        spec = pl.BlockSpec((Ep, LANE), lambda b, p, i: (0, b), memory_space=pltpu.VMEM)
+    else:
+        grid = (Bp // LANE, nt)
+        spec = pl.BlockSpec((Ep, LANE), lambda b, i: (0, b), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((Ep, Bp), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 7,
+        out_shape=[shape] * 7,
+        scratch_shapes=[pltpu.VMEM((Ep, LANE), jnp.float32)] * 4,
+        interpret=interpret,
+    )(x, y, vx, vy, fax, fay, sx, sy)
+    nx, ny, nvx, nvy, rowmin, colmin, cnt = outs
+    new_pos = jnp.stack([nx[:N, :B].T, ny[:N, :B].T], axis=-1).astype(apos.dtype)
+    new_vel = jnp.stack([nvx[:N, :B].T, nvy[:N, :B].T], axis=-1).astype(avel.dtype)
+    haus = jnp.sqrt(
+        jnp.maximum(rowmin[:N, :B].max(axis=0), colmin[:N, :B].max(axis=0))
+    )
+    return new_pos, new_vel, haus, cnt[:N, :B].T.astype(apos.dtype)
