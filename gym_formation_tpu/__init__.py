@@ -19,6 +19,7 @@ from .env import (
     rollout,
     rollout_statepolicy,
     rollout_statepolicy_rewardsum,
+    rollout_statepolicy_fused,
     rollout_stateonly,
 )
 from .envs import SCENARIOS, generate_shape, make_scenario, register
@@ -97,6 +98,7 @@ __all__ = [
     "rollout",
     "rollout_statepolicy",
     "rollout_statepolicy_rewardsum",
+    "rollout_statepolicy_fused",
     "rollout_stateonly",
     "generate_shape",
     "ezpolicy",

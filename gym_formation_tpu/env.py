@@ -403,6 +403,177 @@ def rollout_statepolicy_rewardsum(
     return state, rsum
 
 
+def rollout_statepolicy_fused(
+    env: FormationEnv,
+    state_policy_fn,
+    state: EnvState,
+    keys: Array,
+    length: int,
+    stats: str = "pre",
+    tile: int = 32,
+    interpret: bool = False,
+):
+    """Batched rollout driving the fused physics+reward step kernel
+    (:func:`~gym_formation_tpu.ops.pallas.fused_step.fused_hd_step`) — the
+    N=243 BASELINE fast path.
+
+    Unlike the per-env rollouts above this one is batch-level (the kernel
+    wants the whole env batch): ``state`` is a batched ``EnvState`` and
+    ``keys`` one PRNG key per env.  Semantics match
+    ``vmap(rollout_statepolicy)`` step for step — physics + hd reward +
+    shared-reward broadcast + time-limit auto-reset (``environment.py:
+    113-178``) — within the fused kernel's f32 tolerance
+    (tests/test_fused_rollout_hd.py).
+
+    ``stats="pre"`` runs the off-by-one plane-sharing variant: step t's
+    kernel emits the reward statistics of its *input* positions, which are
+    step t-1's post-physics positions, so reward t-1 is finalized during
+    step t.  On steps where any env auto-reset in between, the statistics
+    are recomputed from the carried pre-reset positions (one extra reward
+    kernel call under a scalar ``lax.cond`` — with lockstep episodes that is
+    1/episode_length of steps).  ``stats="post"`` computes the statistics on
+    the integrated positions inside the same kernel call (no restructuring,
+    ~one extra triangle sweep per step).
+
+    Returns ``(state, rewards [T, B])`` where ``rewards[t, b]`` is the sum
+    over agents of env b's step-t reward vector (the shared-reward broadcast
+    included, matching ``StepOut.reward.sum()``).
+    """
+    from .core import physics as _physics
+    from .ops.pallas.fused_step import fused_hd_step
+    from .ops.pallas.reward_sym import hd_reward_stats_sym
+
+    scen, cfg = env.scenario, env.cfg
+    n = cfg.n_agents
+    sub = _physics._collide_subset(cfg)
+    if sub is None:
+        lo, hi, sub_cfg = 0, cfg.n_entities, cfg
+    else:
+        lo, hi, idx, sub_cfg = sub
+        assert idx is None and (lo, hi) == (0, n), "fused rollout wants the agent-prefix subset"
+    thresh = float(2.0 * cfg.size[0] * scen.collision_factor)
+    assert env.shared_reward and env.auto_reset and scen.scripted_mask is None
+    assert not cfg.has_noise() and bool(np.all(cfg.silent))
+    sens = jnp.asarray(env._sensitivity, jnp.float32)[None, :, None]
+    coef = jnp.asarray(cfg.act_coef, jnp.float32)[None, :, None]
+    interp = interpret or jax.default_backend() != "tpu"
+
+    def phys_reward(st, actions):
+        """Shared step front half: decode, fused kernel, state update."""
+        keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(st.key)
+        aforce = actions.astype(jnp.float32) * sens * coef
+        npos_a, nvel_a, haus, ncoll = fused_hd_step(
+            st.pos[:, :n], st.vel[:, :n], aforce, st.ideal_shape, sub_cfg,
+            thresh=thresh, stats=stats, tile=tile, interpret=interp,
+        )
+        st = st.replace(
+            pos=jnp.concatenate([npos_a, st.pos[:, n:]], axis=1),
+            vel=jnp.concatenate([nvel_a, st.vel[:, n:]], axis=1),
+            c=jnp.zeros_like(st.c),
+            t=st.t + 1,
+            key=keys3[:, 0],
+        )
+        st = jax.vmap(scen.pre_obs)(st)
+        velterm = -jnp.linalg.norm(
+            st.ideal_vel - nvel_a.mean(axis=1), axis=-1
+        )  # [B]
+        return st, keys3[:, 2], haus, ncoll, velterm
+
+    def finalize(haus, ncoll, velterm):
+        """Per-env sum of the step's reward vector, shared-broadcast included
+        (``environment.py:135-138``): sum_i broadcast(sum_j indiv_j) ==
+        n * (n*(-haus+velterm) - sum ncoll)."""
+        return n * (n * (velterm - haus) - ncoll.sum(axis=-1))
+
+    def auto_reset(st, k_reset):
+        done = st.t >= env.world_length  # [B]
+        fresh = jax.vmap(lambda k: scen.pre_obs(scen.reset(k)))(k_reset)
+        sel = lambda a, b: jnp.where(
+            jnp.reshape(done, done.shape + (1,) * (a.ndim - 1)), a, b
+        )
+        return jax.tree.map(sel, fresh, st), done
+
+    if stats == "post":
+
+        def body(carry, _):
+            st, k = carry
+            ks = jax.vmap(lambda kk: jax.random.split(kk))(k)
+            actions = jax.vmap(state_policy_fn)(
+                jax.vmap(scen.pre_obs)(st), ks[:, 1]
+            )
+            st, k_reset, haus, ncoll, velterm = phys_reward(st, actions)
+            r = finalize(haus, ncoll, velterm)
+            st, _ = auto_reset(st, k_reset)
+            return (st, ks[:, 0]), r
+
+        (state, _), rewards = jax.lax.scan(
+            body, (state, keys), None, length=length
+        )
+        return state, rewards
+
+    # stats == "pre": off-by-one finalization with reset-boundary correction
+    B = keys.shape[0]
+
+    def stats_plain(pos_a, ishape):
+        return hd_reward_stats_sym(
+            pos_a, ishape, thresh=thresh, interpret=interp
+        )
+
+    def body(carry, _):
+        st, k, prev = carry
+        ks = jax.vmap(lambda kk: jax.random.split(kk))(k)
+        actions = jax.vmap(state_policy_fn)(
+            jax.vmap(scen.pre_obs)(st), ks[:, 1]
+        )
+        ishape_t = st.ideal_shape
+        st, k_reset, haus_in, ncoll_in, velterm = phys_reward(st, actions)
+        post_pos = st.pos[:, :n]  # pre-reset post-physics positions
+
+        # finalize reward t-1: the kernel's input-state statistics are valid
+        # for envs that did NOT reset between t-1 and t; the rest recompute
+        # from the carried pre-reset positions (scalar cond: skipped
+        # entirely on reset-free steps — all but 1/episode_length of steps
+        # under lockstep episodes)
+        def corrected(_):
+            h2, nc2 = stats_plain(prev["pos"], prev["ishape"])
+            return (
+                jnp.where(prev["done"], h2, haus_in),
+                jnp.where(prev["done"][:, None], nc2, ncoll_in),
+            )
+
+        haus_prev, ncoll_prev = jax.lax.cond(
+            jnp.any(prev["done"]),
+            corrected,
+            lambda _: (haus_in, ncoll_in),
+            None,
+        )
+        r_prev = finalize(haus_prev, ncoll_prev, prev["velterm"])
+
+        st, done = auto_reset(st, k_reset)
+        prev = {
+            "pos": post_pos,
+            "ishape": ishape_t,
+            "velterm": velterm,
+            "done": done,
+        }
+        return (st, ks[:, 0], prev), r_prev
+
+    prev0 = {
+        "pos": state.pos[:, :n],
+        "ishape": state.ideal_shape,
+        "velterm": jnp.zeros((B,), jnp.float32),
+        "done": jnp.zeros((B,), bool),
+    }
+    (state, _, prev), ys = jax.lax.scan(
+        body, (state, keys, prev0), None, length=length
+    )
+    # ys[0] finalized the bogus step -1; the last step finalizes here
+    h_last, nc_last = stats_plain(prev["pos"], prev["ishape"])
+    r_last = finalize(h_last, nc_last, prev["velterm"])
+    rewards = jnp.concatenate([ys[1:], r_last[None]], axis=0)
+    return state, rewards
+
+
 def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:
     """Receptor-field offsets in the agent's local frame — the reference's
     (unused) observation helper ``environment.py:396-414``, kept for surface
