@@ -13,6 +13,7 @@ Baseline (BASELINE.md): 1M env-steps/s per chip at 4096 envs.
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -29,6 +30,27 @@ enable_compilation_cache()
 BASELINE_STEPS_PER_SEC = 1_000_000.0
 
 
+def emit(metric, window_rates):
+    """One JSON line: median of the in-process timed windows as the headline,
+    min/max as the spread.  Tunnel-neighbor load swings cross-process numbers
+    up to ~2x on the same cached program (CLAUDE.md), so a single window is
+    not an honest headline; the driver contract still gets one `value`."""
+    med = statistics.median(window_rates)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(med, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(med / BASELINE_STEPS_PER_SEC, 3),
+                "windows": len(window_rates),
+                "min": round(min(window_rates), 1),
+                "max": round(max(window_rates), 1),
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scenario", default="formation_hd_env")
@@ -36,6 +58,12 @@ def main():
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=256, help="scan steps per device call")
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument(
+        "--windows", type=int, default=3,
+        help="timed windows per run; the JSON reports their median as "
+        "`value` plus min/max (single-window numbers ride a ~2x "
+        "tunnel-neighbor swing — VERDICT r3)",
+    )
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
     p.add_argument(
         "--mesh", type=int, default=None, metavar="DP",
@@ -150,26 +178,21 @@ def main():
         # device time per chunk is ~2.5 ms; use enough chunks to amortize the
         # single ~35 ms tunnel round trip of the closing value fetch
         iters = max(args.iters, 64)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            soa, r = run(soa, 2 + i)
-        rv = float(r.sum())
-        dt = time.perf_counter() - t0
-        assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
-        steps_per_sec = iters * B * T / dt
-        print(
-            json.dumps(
-                {
-                    "metric": f"env-steps/s/chip ({args.scenario}, "
-                    f"N={args.num_agents}, {B} envs, ezpolicy policy, "
-                    "fused rollout kernel)",
-                    "value": round(steps_per_sec, 1),
-                    "unit": "env-steps/s",
-                    "vs_baseline": round(
-                        steps_per_sec / BASELINE_STEPS_PER_SEC, 3
-                    ),
-                }
-            )
+        rates = []
+        seed = 2
+        for _ in range(args.windows):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                soa, r = run(soa, seed)
+                seed += 1
+            rv = float(r.sum())
+            dt = time.perf_counter() - t0
+            assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
+            rates.append(iters * B * T / dt)
+        emit(
+            f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, "
+            f"{B} envs, ezpolicy policy, fused rollout kernel)",
+            rates,
         )
         return
 
@@ -263,25 +286,24 @@ def main():
     rv = float(r)
     assert math.isfinite(rv), f"non-finite reward from warmup chunk: {rv}"
 
-    t0 = time.perf_counter()
-    total = 0
-    for i in range(args.iters):
-        state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(2 + i))
-        total += B * T
-    rv = float(r)  # blocks on the full dispatch chain via data dependency
-    dt = time.perf_counter() - t0
-    assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
+    rates = []
+    seed = 2
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(args.iters):
+            state, obs, r = run_chunk(state, obs, jax.random.PRNGKey(seed))
+            seed += 1
+            total += B * T
+        rv = float(r)  # blocks on the full dispatch chain via data dependency
+        dt = time.perf_counter() - t0
+        assert math.isfinite(rv), f"non-finite reward from timed run: {rv}"
+        rates.append(total / dt)
 
-    steps_per_sec = total / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, {B} envs, {args.policy} policy)",
-                "value": round(steps_per_sec, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-            }
-        )
+    emit(
+        f"env-steps/s/chip ({args.scenario}, N={args.num_agents}, {B} envs, "
+        f"{args.policy} policy)",
+        rates,
     )
 
 

@@ -107,8 +107,6 @@ def _expand(
     N = P.shape[0]
     L = num_layers(N, n)
     dt = P.dtype
-    # Static gather dropping block i from its own group's centroid list.
-    drop_self = np.stack([[k for k in range(n) if k != i] for i in range(n)])
     zeros_comm = jnp.zeros((2 * (n - 1),), dt)
 
     parent_vel = root_vel[None, :]  # [1, 2]
@@ -120,8 +118,15 @@ def _expand(
         T = S.reshape(G, n, m, 2).mean(axis=2)  # [G, n, 2] block targets
         leaders = V.reshape(G, n, m, 2)[:, :, 0]  # [G, n, 2] leader velocities
         rel = C[:, None, :, :] - C[:, :, None, :]  # [G, i, k, 2] = C_k − C_i
-        cur_shape = jnp.take_along_axis(
-            rel, jnp.asarray(drop_self)[None, :, :, None], axis=2
+        # drop block i from its own centroid list via static slices (a
+        # take_along_axis here lowers to a TPU dynamic-gather — slow and
+        # unnecessary for a compile-time-constant index pattern)
+        cur_shape = jnp.stack(
+            [
+                jnp.concatenate([rel[:, i, :i], rel[:, i, i + 1 :]], axis=1)
+                for i in range(n)
+            ],
+            axis=1,
         ).reshape(G, n, 2 * (n - 1))
         obs_in = jnp.concatenate(
             [
