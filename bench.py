@@ -81,6 +81,12 @@ def main():
         "by tests/test_fused_rollout.py",
     )
     p.add_argument(
+        "--step-kernel", choices=["auto", "fused", "plain"], default="auto",
+        help="bfs_state only: drive the fused physics+reward step kernel "
+        "(ops/pallas/fused_step.py, off-by-one reward finalization). "
+        "auto: on for formation_hd_env on TPU without --mesh",
+    )
+    p.add_argument(
         "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
         default="ezpolicy",
         help="ezpolicy (default): scripted policy consuming the observations "
@@ -232,17 +238,42 @@ def main():
             )
 
     if args.policy == "bfs_state":
+        use_fused_step = (
+            args.step_kernel == "fused"
+            or (
+                args.step_kernel == "auto"
+                and args.scenario == "formation_hd_env"
+                and not args.mesh
+                and jax.default_backend() == "tpu"
+            )
+        )
+        if use_fused_step:
+            # fused physics+reward step kernel with off-by-one reward
+            # finalization (ops/pallas/fused_step.py): measured 2.40 vs
+            # 2.69 ms/step at N=243 B=2048 (tools/exp_fused_step.py)
+            @jax.jit
+            def run_chunk(state, obs, key):
+                del obs
+                keys = jax.random.split(key, B)
+                state, rewards = ft.rollout_statepolicy_fused(
+                    env, policy, state, keys, T
+                )
+                return state, None, rewards.sum()
 
-        @jax.jit
-        def run_chunk(state, obs, key):
-            del obs  # never materialized in this mode (see reset below)
-            keys = jax.random.split(key, B)
-            # reward-sum variant: a stacked [B, T, N] reward output is 8.2 GB
-            # at the N=243 x 8192 x 256 config and OOMs the chip
-            state, rsum = jax.vmap(
-                lambda s, k: ft.rollout_statepolicy_rewardsum(env, policy, s, k, T)
-            )(state, keys)
-            return state, None, rsum.sum()
+        else:
+
+            @jax.jit
+            def run_chunk(state, obs, key):
+                del obs  # never materialized in this mode (see reset below)
+                keys = jax.random.split(key, B)
+                # reward-sum variant: a stacked [B, T, N] reward output is
+                # 8.2 GB at the N=243 x 8192 x 256 config, OOMing the chip
+                state, rsum = jax.vmap(
+                    lambda s, k: ft.rollout_statepolicy_rewardsum(
+                        env, policy, s, k, T
+                    )
+                )(state, keys)
+                return state, None, rsum.sum()
 
     else:
 

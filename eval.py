@@ -35,7 +35,12 @@ from gym_formation_tpu.algos.registry import (
     eval_policy,
     make_algo,
 )
-from gym_formation_tpu.render import render_state, save_gif
+from gym_formation_tpu.render import (
+    render_state,
+    render_state_per_agent,
+    save_gif,
+    tile_images,
+)
 from gym_formation_tpu.utils import enable_compilation_cache, restore_raw
 
 enable_compilation_cache()
@@ -55,6 +60,11 @@ def main():
     p.add_argument("--episodes", type=int, default=3)
     p.add_argument("--episode-length", type=int, default=None)
     p.add_argument("--gif", default=None)
+    p.add_argument(
+        "--per-agent-view", action="store_true",
+        help="one camera per agent, tiled into each GIF frame (the "
+        "reference's shared_viewer=False mode, environment.py:329-341)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--discrete-action", action="store_true",
@@ -161,7 +171,18 @@ def main():
             done = bool(out.done.all())
             t += 1
             if args.gif:
-                frames.append(render_state(env.scenario, state, size=350))
+                if args.per_agent_view:
+                    frames.append(
+                        tile_images(
+                            np.stack(
+                                render_state_per_agent(
+                                    env.scenario, state, size=233
+                                )
+                            )
+                        )
+                    )
+                else:
+                    frames.append(render_state(env.scenario, state, size=350))
         ep_rewards.append(total_r)
         ep_bench.append({k: float(np.asarray(v).mean()) for k, v in out.info.items()})
         print(f"episode {ep}: return={total_r:.2f} len={t} bench={ep_bench[-1]}")

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -66,7 +66,11 @@ class MAPPOConfig:
     # + critic MLPs on the MXU, Gaussian sampling, physics, reward,
     # auto-reset — ops/pallas/fused_collect.py).  formation_hd_env +
     # continuous shared policy only; parity in tests/test_fused_collect.py.
-    fused_collect: bool = False
+    # None = auto: ON when every precondition holds (hd scenario, shared
+    # continuous policy, auto-reset, num_envs % 512 == 0, TPU backend) —
+    # measured 11-13% end-to-end at B=4096 and ~5% at B=1024 (RESULTS.md
+    # round-4 A/B table); True/False force.
+    fused_collect: Optional[bool] = None
     # Compute each PPO epoch's gradients in ONE Pallas kernel (fwd + handwritten
     # bwd on the MXU, ops/pallas/fused_ppo_grad.py) instead of jax.grad's
     # hundreds of small XLA kernels.  Continuous shared policy,
@@ -144,6 +148,18 @@ class MAPPO:
         else:
             self.actor = GaussianActor(self.act_dim, cfg.hidden)
         self.critic = ValueCritic(cfg.hidden)
+        fc = cfg.fused_collect
+        if fc is None:  # auto: on exactly where the preconditions hold
+            fc = (
+                env.scenario.name == "formation_hd_env"
+                and cfg.share_policy
+                and not self.discrete
+                and env.auto_reset
+                and not env.benchmark
+                and num_envs % 512 == 0
+                and jax.default_backend() == "tpu"
+            )
+        self.fused_collect = bool(fc)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=cfg.adam_eps),
@@ -532,7 +548,7 @@ class MAPPO:
         """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
         cfg = self.cfg
         k_roll, k_upd = jax.random.split(key)
-        collect = self._collect_fused if cfg.fused_collect else self._collect
+        collect = self._collect_fused if self.fused_collect else self._collect
         env_state, obs, traj, bench, last_value = collect(
             ts, env_state, obs, k_roll
         )

@@ -410,7 +410,7 @@ def rollout_statepolicy_fused(
     keys: Array,
     length: int,
     stats: str = "pre",
-    tile: int = 32,
+    tile: int = 16,
     interpret: bool = False,
 ):
     """Batched rollout driving the fused physics+reward step kernel

@@ -242,7 +242,7 @@ def fused_hd_step(
     *,
     thresh: float,
     stats: str = "pre",
-    tile: int = 32,
+    tile: int = 16,
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
     """One fused physics+reward step on the uniform colliding subset.
@@ -262,6 +262,11 @@ def fused_hd_step(
     Returns ``(new_pos [B,N,2], new_vel [B,N,2], haus [B], ncoll [B,N])``
     where haus/ncoll describe the integrated state for ``stats="post"`` and
     the *input* state for ``stats="pre"``.
+
+    tile=16 default: at N=243 B=2048 on v5e the tile=16 build of the full
+    bfs_state rollout measures 2.40 ms/step (pre) vs 2.79 at tile=32 — the
+    tile=32 variant LOSES to the unfused step path (2.69), the tile=16 one
+    beats it (tools/exp_fused_step.py, one-process A/B).
     """
     assert cfg.nan_guard, "fused step requires nan_guard"
     assert sym_applicable(cfg), "fused step requires the uniform subset"

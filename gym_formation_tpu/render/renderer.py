@@ -30,16 +30,18 @@ def render_state(
     state: EnvState,
     size: int = 700,
     cam_range: float = CAM_RANGE,
+    center: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Rasterize one env state to [size, size, 3] uint8.
 
     Entity radii and colors mirror the reference geoms (alpha-blended agents,
-    solid landmarks — ``environment.py:287-311``).
+    solid landmarks — ``environment.py:287-311``).  ``center`` overrides the
+    default shared camera (agents' centroid, ``environment.py:363-369``).
     """
     cfg = scenario.cfg
     pos = np.asarray(state.pos, np.float64)
     n = cfg.n_agents
-    center = pos[:n].mean(axis=0)
+    center = pos[:n].mean(axis=0) if center is None else np.asarray(center)
     lo = center - cam_range
     scale = size / (2 * cam_range)
 
@@ -66,6 +68,23 @@ def render_state(
             color, alpha = OBSTACLE_COLOR, 1.0
         img[mask] = (1 - alpha) * img[mask] + alpha * color
     return (img * 255).astype(np.uint8)
+
+
+def render_state_per_agent(
+    scenario: Scenario,
+    state: EnvState,
+    size: int = 700,
+    cam_range: float = CAM_RANGE,
+) -> List[np.ndarray]:
+    """One frame per agent, each camera centered on its own agent — the
+    reference's ``shared_viewer=False`` mode (one ``Viewer`` per agent,
+    ``environment.py:329-341``; camera at ``agents[i].state.p_pos``,
+    ``:363-370``).  Tile with :func:`tile_images` for a single canvas."""
+    pos = np.asarray(state.pos, np.float64)
+    return [
+        render_state(scenario, state, size, cam_range, center=pos[i])
+        for i in range(scenario.cfg.n_agents)
+    ]
 
 
 def save_gif(frames: List[np.ndarray], path: str, fps: int = 20) -> Optional[str]:

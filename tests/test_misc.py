@@ -43,6 +43,24 @@ def test_renderer_shapes_and_determinism(key):
     assert (img1 != 255).any()  # something was drawn
 
 
+def test_renderer_per_agent_views(key):
+    """shared_viewer=False parity (reference environment.py:329-341,363-370):
+    one frame per agent, each centered on its own agent — the own-agent
+    pixel block sits at the image center of its view."""
+    from gym_formation_tpu.render import render_state_per_agent
+
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    state, _ = env.reset(key)
+    views = render_state_per_agent(env.scenario, state, size=129)
+    assert len(views) == 3
+    for i, v in enumerate(views):
+        assert v.shape == (129, 129, 3) and v.dtype == np.uint8
+        # center pixel lies inside agent i's disc (agent color is alpha-
+        # blended onto white: strictly between pure color and pure white)
+        c = v[64, 64]
+        assert (c != 255).any(), f"view {i} not centered on its agent"
+
+
 def test_scripted_agent_hook(key):
     class Scripted(ft.SCENARIOS["formation_hd_env"]):
         scripted_mask = np.array([True, False, False])

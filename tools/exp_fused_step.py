@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--tile", type=int, default=32, help="fused-step tile")
+    ap.add_argument("--tile", type=int, default=16, help="fused-step tile")
     args = ap.parse_args()
 
     B, T, N = args.batch, args.chunk, args.num_agents
