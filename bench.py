@@ -249,14 +249,17 @@ def main():
         )
         if use_fused_step:
             # fused physics+reward step kernel with off-by-one reward
-            # finalization (ops/pallas/fused_step.py): measured 2.40 vs
-            # 2.69 ms/step at N=243 B=2048 (tools/exp_fused_step.py)
+            # finalization (ops/pallas/fused_step.py); arity-3 hierarchies
+            # additionally run the BFS + ezpolicy expansion IN-KERNEL
+            # (models/bfs_planes.py) — see tools/exp_fused_step.py A/Bs
+            kern_policy = "bfs_ez" if n_per_layer == 3 else "external"
+
             @jax.jit
             def run_chunk(state, obs, key):
                 del obs
                 keys = jax.random.split(key, B)
                 state, rewards = ft.rollout_statepolicy_fused(
-                    env, policy, state, keys, T
+                    env, policy, state, keys, T, policy=kern_policy
                 )
                 return state, None, rewards.sum()
 

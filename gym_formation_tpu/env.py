@@ -412,6 +412,7 @@ def rollout_statepolicy_fused(
     stats: str = "pre",
     tile: int = 16,
     interpret: bool = False,
+    policy: str = "external",
 ):
     """Batched rollout driving the fused physics+reward step kernel
     (:func:`~gym_formation_tpu.ops.pallas.fused_step.fused_hd_step`) — the
@@ -435,6 +436,13 @@ def rollout_statepolicy_fused(
     the integrated positions inside the same kernel call (no restructuring,
     ~one extra triangle sweep per step).
 
+    ``policy="bfs_ez"`` runs the arity-3 BFS + ezpolicy expansion INSIDE the
+    fused kernel (models/bfs_planes.py) — ``state_policy_fn`` is then unused
+    (the PRNG chain still advances identically, so trajectories stay
+    comparable with the step path).  The standard expansion's [B, G, n, 2]
+    tensors waste 126/128 lanes per op; in-kernel the whole 5-level
+    expansion stays VMEM-resident.
+
     Returns ``(state, rewards [T, B])`` where ``rewards[t, b]`` is the sum
     over agents of env b's step-t reward vector (the shared-reward broadcast
     included, matching ``StepOut.reward.sum()``).
@@ -457,14 +465,29 @@ def rollout_statepolicy_fused(
     sens = jnp.asarray(env._sensitivity, jnp.float32)[None, :, None]
     coef = jnp.asarray(cfg.act_coef, jnp.float32)[None, :, None]
     interp = interpret or jax.default_backend() != "tpu"
+    assert policy in ("external", "bfs_ez"), policy
+    if policy == "bfs_ez":
+        import math as _math
+
+        bfs_L = round(_math.log(n, 3))
+        su = np.unique(env._sensitivity), np.unique(cfg.act_coef[:n])
+        assert len(su[0]) == 1 and len(su[1]) == 1, "bfs_ez wants uniform scaling"
+        act_scale = float(su[0][0] * su[1][0])
+    else:
+        bfs_L, act_scale = None, None
 
     def phys_reward(st, actions):
         """Shared step front half: decode, fused kernel, state update."""
         keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(st.key)
-        aforce = actions.astype(jnp.float32) * sens * coef
+        if policy == "bfs_ez":
+            aforce = None
+            kw = dict(bfs_L=bfs_L, ideal_vel=st.ideal_vel, act_scale=act_scale)
+        else:
+            aforce = actions.astype(jnp.float32) * sens * coef
+            kw = {}
         npos_a, nvel_a, haus, ncoll = fused_hd_step(
             st.pos[:, :n], st.vel[:, :n], aforce, st.ideal_shape, sub_cfg,
-            thresh=thresh, stats=stats, tile=tile, interpret=interp,
+            thresh=thresh, stats=stats, tile=tile, interpret=interp, **kw,
         )
         st = st.replace(
             pos=jnp.concatenate([npos_a, st.pos[:, n:]], axis=1),
@@ -498,9 +521,9 @@ def rollout_statepolicy_fused(
         def body(carry, _):
             st, k = carry
             ks = jax.vmap(lambda kk: jax.random.split(kk))(k)
-            actions = jax.vmap(state_policy_fn)(
-                jax.vmap(scen.pre_obs)(st), ks[:, 1]
-            )
+            actions = None if policy == "bfs_ez" else jax.vmap(
+                state_policy_fn
+            )(jax.vmap(scen.pre_obs)(st), ks[:, 1])
             st, k_reset, haus, ncoll, velterm = phys_reward(st, actions)
             r = finalize(haus, ncoll, velterm)
             st, _ = auto_reset(st, k_reset)
@@ -522,9 +545,9 @@ def rollout_statepolicy_fused(
     def body(carry, _):
         st, k, prev = carry
         ks = jax.vmap(lambda kk: jax.random.split(kk))(k)
-        actions = jax.vmap(state_policy_fn)(
-            jax.vmap(scen.pre_obs)(st), ks[:, 1]
-        )
+        actions = None if policy == "bfs_ez" else jax.vmap(
+            state_policy_fn
+        )(jax.vmap(scen.pre_obs)(st), ks[:, 1])
         ishape_t = st.ideal_shape
         st, k_reset, haus_in, ncoll_in, velterm = phys_reward(st, actions)
         post_pos = st.pos[:, :n]  # pre-reset post-physics positions

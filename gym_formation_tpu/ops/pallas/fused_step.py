@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.types import WorldCfg
+from ...models.bfs_planes import bfs_ez_planes
 from .pairforce_sym import sym_applicable
 
 Array = jnp.ndarray
@@ -83,15 +84,30 @@ def _kernel(
     accx, accy, cntacc, colacc,
     *,
     tile, nt, n, post, k, invk, cf, dmin, thresh2, damping, dt, inv_m,
-    max_speed,
+    max_speed, bfs_L=None, act_scale=None,
 ):
+    # bfs_L set: the arity-3 BFS + ezpolicy expansion runs IN-KERNEL on the
+    # input planes (models/bfs_planes.py) and its action forces seed the
+    # force accumulators; refs 5/6 (fax/fay) then carry the root commanded
+    # velocity in row 0 instead of external action forces.
     ph = pl.program_id(1) if post else 0
     i = pl.program_id(2) if post else pl.program_id(1)
 
     @pl.when((ph == 0) & (i == 0))
     def _init():
-        accx[:, :] = jnp.zeros_like(accx)
-        accy[:, :] = jnp.zeros_like(accy)
+        if bfs_L is None:
+            accx[:, :] = jnp.zeros_like(accx)
+            accy[:, :] = jnp.zeros_like(accy)
+        else:
+            ax_p, ay_p = bfs_ez_planes(
+                x_ref[:, :], y_ref[:, :], sx_ref[:, :], sy_ref[:, :],
+                fax_ref[0:1, :], fay_ref[0:1, :], bfs_L,
+            )
+            pad = jnp.zeros(
+                (accx.shape[0] - 3**bfs_L, accx.shape[1]), jnp.float32
+            )
+            accx[:, :] = jnp.concatenate([ax_p * act_scale, pad], axis=0)
+            accy[:, :] = jnp.concatenate([ay_p * act_scale, pad], axis=0)
         cntacc[:, :] = jnp.zeros_like(cntacc)
         colacc[:, :] = jnp.full_like(colacc, _BIG)
 
@@ -153,8 +169,12 @@ def _kernel(
         )
         # tile i's pair force is now complete: columns from cells i' < i are
         # already in the scratch (sequential grid), rows were just computed
-        ftx = accx[pl.ds(ri, tile), :] + fx_row + fax_ref[pl.ds(ri, tile), :]
-        fty = accy[pl.ds(ri, tile), :] + fy_row + fay_ref[pl.ds(ri, tile), :]
+        # (bfs mode: the action force is already in the accumulator init)
+        ftx = accx[pl.ds(ri, tile), :] + fx_row
+        fty = accy[pl.ds(ri, tile), :] + fy_row
+        if bfs_L is None:
+            ftx = ftx + fax_ref[pl.ds(ri, tile), :]
+            fty = fty + fay_ref[pl.ds(ri, tile), :]
         if not post:
             cntacc[pl.ds(ri, tile), :] = cntacc[pl.ds(ri, tile), :] + cnt_row
 
@@ -244,6 +264,9 @@ def fused_hd_step(
     stats: str = "pre",
     tile: int = 16,
     interpret: bool = False,
+    bfs_L: int = None,
+    ideal_vel: Array = None,
+    act_scale: float = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """One fused physics+reward step on the uniform colliding subset.
 
@@ -273,6 +296,10 @@ def fused_hd_step(
     assert not cfg.walls, "fused step does not support walls"
     assert stats in ("pre", "post"), stats
     B, N, _ = apos.shape
+    if bfs_L is not None:
+        # in-kernel arity-3 BFS+ezpolicy policy: aforce is ignored; the
+        # root commanded velocity rides the fax/fay input planes' row 0
+        assert 3**bfs_L == N and ideal_vel is not None and act_scale is not None
     Ep = _round_up(N, tile)
     Bp = _round_up(B, LANE)
     sent = (jnp.arange(Ep, dtype=jnp.float32) >= N) * (
@@ -286,8 +313,13 @@ def fused_hd_step(
     y = pad_t(apos[..., 1], sent)
     vx = pad_t(avel[..., 0], zero)
     vy = pad_t(avel[..., 1], zero)
-    fax = pad_t(aforce[..., 0], zero)
-    fay = pad_t(aforce[..., 1], zero)
+    if bfs_L is None:
+        fax = pad_t(aforce[..., 0], zero)
+        fay = pad_t(aforce[..., 1], zero)
+    else:
+        rv = jnp.zeros((Bp, Ep), jnp.float32).T
+        fax = rv.at[0, :B].set(ideal_vel[..., 0])
+        fay = rv.at[0, :B].set(ideal_vel[..., 1])
     sx = pad_t(ishape[..., 0], -sent)
     sy = pad_t(ishape[..., 1], -sent)
 
@@ -309,6 +341,8 @@ def fused_hd_step(
         dt=float(cfg.dt),
         inv_m=float(1.0 / cfg.mass[0]),
         max_speed=None if ms is None else float(ms),
+        bfs_L=bfs_L,
+        act_scale=None if act_scale is None else float(act_scale),
     )
     if post:
         grid = (Bp // LANE, 2, nt)

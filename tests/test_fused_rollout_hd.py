@@ -60,6 +60,28 @@ def test_fused_rollout_pre_matches_step_path():
     np.testing.assert_allclose(np.asarray(rew), ref, atol=5e-3, rtol=1e-4)
 
 
+def test_fused_rollout_inkernel_bfs_matches_step_path():
+    """policy='bfs_ez': the arity-3 BFS + ezpolicy expansion computed INSIDE
+    the fused kernel (models/bfs_planes.py) reproduces the step-by-step path
+    driven by the standard expansion, across reset boundaries."""
+    env, state, rollkeys = _setup()
+    bfs_policy = lambda st, k: ft.bfs_actions_from_state(
+        ft.ezpolicy_batched, env.scenario, st, 3
+    )
+    st_ref, rew_ref = jax.vmap(
+        lambda s, k: ft.rollout_statepolicy(env, bfs_policy, s, k, T)
+    )(state, rollkeys)
+    ref = np.asarray(rew_ref.sum(axis=-1)).T
+    st_f, rew = ft.rollout_statepolicy_fused(
+        env, None, state, rollkeys, T,
+        stats="pre", policy="bfs_ez", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rew), ref, atol=5e-3, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_f.pos), np.asarray(st_ref.pos), atol=1e-3, rtol=1e-4
+    )
+
+
 def test_fused_rollout_states_match_step_path():
     """Final carried state (positions, velocities, episode counters, RNG
     keys) matches the step-by-step path."""

@@ -89,6 +89,16 @@ def main():
     fused_post = jax.jit(fused_path("post"))
     fused_pre = jax.jit(fused_path("pre"))
 
+    def fused_bfs(state, key):
+        keys = jax.random.split(key, B)
+        state, rewards = ft.rollout_statepolicy_fused(
+            env, None, state, keys, T,
+            stats="pre", tile=args.tile, policy="bfs_ez",
+        )
+        return state, rewards.sum()
+
+    fused_bfs = jax.jit(fused_bfs)
+
     for r in range(args.repeat):
         # fresh jit wrapper per impl flip: a cached trace would keep the
         # previously dispatched reward kernel baked in
@@ -104,6 +114,7 @@ def main():
         )
         measure(f"round{r} fused step, stats=post", fused_post)
         measure(f"round{r} fused step, stats=pre", fused_pre)
+        measure(f"round{r} fused step, pre + in-kernel bfs", fused_bfs)
         set_reward_impl("auto")
 
 
