@@ -14,8 +14,15 @@ rollout kernel discussion in RESULTS.md.
     python tools/roofline.py --num-agents 243 --num-envs 8192 --policy bfs_state
     python tools/roofline.py --num-agents 3 --num-envs 4096 --policy ezpolicy
 
-Peak numbers default to one TPU v5e chip: 197 TFLOP/s bf16 (~49 TFLOP/s f32
-vector), 819 GB/s HBM.  Override with --peak-flops/--peak-bw for other chips.
+Peak numbers default to one TPU v5e chip: 819 GB/s HBM, and for the
+VPU-bound physics/reward mix the MEASURED achievable rate from
+tools/vpu_ceiling.py — ~1.6e12 f32 op-slots/s (pure-FMA chain 1.55 T
+slots/s = 3.1 TFLOP/s; the rsqrt/exp/log1p production mix 1.6 T slots/s;
+the exact pair-kernel replica 64 G pairs/s at 25 slots/pair).  The old
+"~49 TFLOP/s f32 vector" default was the bf16 MXU peak divided by 4 — a
+number no VPU-bound kernel can see; VERDICT r3 flagged the 50x
+inconsistency and vpu_ceiling.py resolved it by measurement.
+Override with --peak-flops/--peak-bw for other chips.
 """
 
 import argparse
@@ -44,9 +51,10 @@ def main():
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto")
     p.add_argument("--peak-bw", type=float, default=8.19e11,
                    help="peak HBM bytes/s (v5e: 819 GB/s)")
-    p.add_argument("--peak-flops", type=float, default=4.9e13,
-                   help="peak f32 FLOP/s for the dominant unit (v5e VPU-bound "
-                   "physics: ~49 TFLOP/s; use 1.97e14 for bf16 MXU work)")
+    p.add_argument("--peak-flops", type=float, default=1.6e12,
+                   help="achievable f32 op-slots/s for the dominant unit "
+                   "(v5e VPU mix, MEASURED by tools/vpu_ceiling.py: ~1.6e12; "
+                   "use 1.97e14 for bf16 MXU work)")
     args = p.parse_args()
 
     from gym_formation_tpu.core.physics import set_pallas_mode
