@@ -243,7 +243,6 @@ def main():
             or (
                 args.step_kernel == "auto"
                 and args.scenario == "formation_hd_env"
-                and not args.mesh
                 and jax.default_backend() == "tpu"
             )
         )
@@ -254,14 +253,33 @@ def main():
             # (models/bfs_planes.py) — see tools/exp_fused_step.py A/Bs
             kern_policy = "bfs_ez" if n_per_layer == 3 else "external"
 
-            @jax.jit
-            def run_chunk(state, obs, key):
-                del obs
-                keys = jax.random.split(key, B)
-                state, rewards = ft.rollout_statepolicy_fused(
-                    env, policy, state, keys, T, policy=kern_policy
+            if args.mesh:
+                from gym_formation_tpu.parallel import make_mesh
+
+                fmesh = make_mesh(
+                    (args.mesh,), ("data",),
+                    devices=jax.devices()[: args.mesh],
                 )
-                return state, None, rewards.sum()
+
+                def run_chunk(state, obs, key):
+                    del obs
+                    keys = jax.random.split(key, B)
+                    state, rewards = ft.rollout_statepolicy_fused_sharded(
+                        env, policy, state, keys, T, fmesh,
+                        policy=kern_policy,
+                    )
+                    return state, None, rewards.sum()
+
+            else:
+
+                @jax.jit
+                def run_chunk(state, obs, key):
+                    del obs
+                    keys = jax.random.split(key, B)
+                    state, rewards = ft.rollout_statepolicy_fused(
+                        env, policy, state, keys, T, policy=kern_policy
+                    )
+                    return state, None, rewards.sum()
 
         else:
 

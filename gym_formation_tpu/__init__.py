@@ -20,6 +20,7 @@ from .env import (
     rollout_statepolicy,
     rollout_statepolicy_rewardsum,
     rollout_statepolicy_fused,
+    rollout_statepolicy_fused_sharded,
     rollout_stateonly,
 )
 from .envs import SCENARIOS, generate_shape, make_scenario, register
@@ -99,6 +100,7 @@ __all__ = [
     "rollout_statepolicy",
     "rollout_statepolicy_rewardsum",
     "rollout_statepolicy_fused",
+    "rollout_statepolicy_fused_sharded",
     "rollout_stateonly",
     "generate_shape",
     "ezpolicy",

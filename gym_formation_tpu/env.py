@@ -597,6 +597,43 @@ def rollout_statepolicy_fused(
     return state, rewards
 
 
+def rollout_statepolicy_fused_sharded(
+    env: FormationEnv,
+    state_policy_fn,
+    state: EnvState,
+    keys: Array,
+    length: int,
+    mesh,
+    axis: str = "data",
+    **kw,
+):
+    """:func:`rollout_statepolicy_fused` composed with a data mesh via
+    ``shard_map``: each shard runs the fused kernel on its B/D slice of the
+    env batch.  Envs have no cross-shard coupling, so the mapping is exact;
+    the off-by-one reset-correction ``lax.cond`` becomes per-shard (still
+    correct — it only gates a recompute).  Returns ``(state, rewards)`` like
+    the unsharded call."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = jax.tree.map(lambda _: P(axis), state)
+
+    def fn(st, ks):
+        return rollout_statepolicy_fused(
+            env, state_policy_fn, st, ks, length, **kw
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(spec, P(axis)),
+            out_specs=(spec, P(None, axis)),
+            # pallas_call outputs carry no vma annotation; per-shard pure
+            check_vma=False,
+        )
+    )(state, keys)
+
+
 def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:
     """Receptor-field offsets in the agent's local frame — the reference's
     (unused) observation helper ``environment.py:396-414``, kept for surface

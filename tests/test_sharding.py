@@ -220,3 +220,30 @@ def test_mesh_cli_flag(tmp_path):
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "mesh: {'data': " in r.stdout, r.stdout[-500:]
+
+
+@needs_8
+def test_fused_step_rollout_sharded_equals_single(key):
+    """The fused-step rollout composed with the data mesh (shard_map over
+    the env batch) reproduces the unsharded call bit-for-bit-ish: envs have
+    no cross-shard coupling, and the per-shard reset-correction cond only
+    gates a recompute."""
+    from gym_formation_tpu.envs.formation_hd import FormationHDScenario
+
+    scen = FormationHDScenario(num_agents=27, episode_length=5)
+    env = ft.FormationEnv(scen)
+    B, T = 16, 8  # crosses a lockstep reset boundary
+    state = jax.vmap(lambda k: env.reset(k)[0])(jax.random.split(key, B))
+    rollkeys = jax.random.split(jax.random.PRNGKey(5), B)
+    st1, rew1 = ft.rollout_statepolicy_fused(
+        env, None, state, rollkeys, T, policy="bfs_ez", interpret=True
+    )
+    mesh = make_mesh(axis_names=("data",))
+    st8, rew8 = ft.rollout_statepolicy_fused_sharded(
+        env, None, state, rollkeys, T, mesh,
+        policy="bfs_ez", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rew8), np.asarray(rew1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st8.pos), np.asarray(st1.pos), atol=1e-5
+    )
