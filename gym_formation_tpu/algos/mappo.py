@@ -68,8 +68,9 @@ class MAPPOConfig:
     # continuous shared policy only; parity in tests/test_fused_collect.py.
     # None = auto: ON when every precondition holds (hd scenario, shared
     # continuous policy, auto-reset, num_envs % 512 == 0, TPU backend) —
-    # measured 11-13% end-to-end at B=4096 and ~5% at B=1024 (RESULTS.md
-    # round-4 A/B table); True/False force.
+    # measured end-to-end wins of ~20-30% at B=1024, ~24% at B=2048 and
+    # ~11% at B=4096 in the interleaved one-process A/B (RESULTS.md
+    # round-4 table); True/False force.
     fused_collect: Optional[bool] = None
     # Compute each PPO epoch's gradients in ONE Pallas kernel (fwd + handwritten
     # bwd on the MXU, ops/pallas/fused_ppo_grad.py) instead of jax.grad's
