@@ -413,6 +413,7 @@ def rollout_statepolicy_fused(
     tile: int = 16,
     interpret: bool = False,
     policy: str = "external",
+    layout: str = "auto",
 ):
     """Batched rollout driving the fused physics+reward step kernel
     (:func:`~gym_formation_tpu.ops.pallas.fused_step.fused_hd_step`) — the
@@ -453,6 +454,16 @@ def rollout_statepolicy_fused(
 
     scen, cfg = env.scenario, env.cfg
     n = cfg.n_agents
+    if layout == "auto":
+        layout = "planes" if (policy == "bfs_ez" and stats == "pre") else "arrays"
+    assert layout in ("planes", "arrays"), layout
+    if layout == "planes":
+        assert policy == "bfs_ez" and stats == "pre", (
+            "planes layout implemented for the bfs_ez + pre configuration"
+        )
+        return _rollout_fused_planes(
+            env, state, keys, length, tile=tile, interpret=interpret
+        )
     sub = _physics._collide_subset(cfg)
     if sub is None:
         lo, hi, sub_cfg = 0, cfg.n_entities, cfg
@@ -605,6 +616,213 @@ def rollout_statepolicy_fused(
     r_last = finalize(h_last, nc_last, prev["velterm"])
     rewards = jnp.concatenate([ys[1:], r_last[None]], axis=0)
     return state, rewards
+
+
+def _rollout_fused_planes(
+    env: FormationEnv,
+    state: EnvState,
+    keys: Array,
+    length: int,
+    tile: int = 16,
+    interpret: bool = False,
+):
+    """SoA-planes body of :func:`rollout_statepolicy_fused` (bfs_ez + pre).
+
+    The arrays-layout body converts ``[B, N, 2]`` state to transposed
+    ``[E, B]`` planes inside every kernel call and back out — and every XLA
+    op between calls (concats, selects, recentring) runs on tensors whose
+    minor dimension is the 2-wide coordinate axis, i.e. at 2/128 lane
+    utilization.  Here the scan carry IS the plane set: positions,
+    velocities, ideal shape, landmarks and the root-velocity rows stay in
+    the transposed layout for the whole chunk; `[B, N, 2]` exists only at
+    chunk boundaries and inside the rare reset/correction conds.  Step
+    semantics and the PRNG chain are identical to the arrays body
+    (parity: tests/test_fused_rollout_hd.py)."""
+    import math as _math
+
+    from .core import physics as _physics
+    from .ops.pallas.fused_step import fused_hd_step_planes
+    from .ops.pallas.reward_sym import hd_reward_stats_sym
+
+    scen, cfg = env.scenario, env.cfg
+    n = cfg.n_agents
+    nl = cfg.n_landmarks
+    sub = _physics._collide_subset(cfg)
+    sub_cfg = cfg if sub is None else sub[3]
+    thresh = float(2.0 * cfg.size[0] * scen.collision_factor)
+    bfs_L = round(_math.log(n, 3))
+    su = np.unique(env._sensitivity), np.unique(cfg.act_coef[:n])
+    assert len(su[0]) == 1 and len(su[1]) == 1
+    act_scale = float(su[0][0] * su[1][0])
+    interp = interpret or jax.default_backend() != "tpu"
+    wl = env.world_length
+
+    B = keys.shape[0]
+    LANE = 128
+    up = lambda v, m: ((v + m - 1) // m) * m
+    Ep = up(n, tile)
+    Lp = up(max(nl, 8), 8)
+    Bp = up(B, LANE)
+    sent = (jnp.arange(Ep, dtype=jnp.float32) >= n) * (
+        1e4 * (1.0 + jnp.arange(Ep, dtype=jnp.float32))
+    )
+    zero = jnp.zeros_like(sent)
+
+    def pad_t(a, s, rows):  # [B, rows_real] -> [rows, Bp] with row offsets s
+        return (
+            jnp.zeros((Bp, rows), jnp.float32).at[:B, : a.shape[1]].set(a)
+            + s[None, :rows]
+        ).T
+
+    rmask = (jnp.arange(Ep) < n)[:, None]  # [Ep, 1]
+    lmask = (jnp.arange(Lp) < nl)[:, None]
+
+    def to_planes(st):
+        x = pad_t(st.pos[:, :n, 0], sent, Ep)
+        y = pad_t(st.pos[:, :n, 1], sent, Ep)
+        vx = pad_t(st.vel[:, :n, 0], zero, Ep)
+        vy = pad_t(st.vel[:, :n, 1], zero, Ep)
+        sx = pad_t(st.ideal_shape[..., 0], -sent, Ep)
+        sy = pad_t(st.ideal_shape[..., 1], -sent, Ep)
+        lz = jnp.zeros(Lp, jnp.float32)
+        lx = pad_t(st.pos[:, n:, 0], lz, Lp)
+        ly = pad_t(st.pos[:, n:, 1], lz, Lp)
+        rvx = jnp.zeros((Ep, Bp), jnp.float32).at[0, :B].set(st.ideal_vel[:, 0])
+        rvy = jnp.zeros((Ep, Bp), jnp.float32).at[0, :B].set(st.ideal_vel[:, 1])
+        return dict(
+            x=x, y=y, vx=vx, vy=vy, sx=sx, sy=sy, lx=lx, ly=ly,
+            rvx=rvx, rvy=rvy, t=st.t, key=st.key,
+        )
+
+    P0 = to_planes(state)
+    prev0 = dict(
+        px=P0["x"], py=P0["y"], psx=P0["sx"], psy=P0["sy"],
+        vt=jnp.zeros((B,), jnp.float32), done=jnp.zeros((B,), bool),
+    )
+
+    def stats_prev(prev):
+        ppos = jnp.stack(
+            [prev["px"][:n, :B].T, prev["py"][:n, :B].T], axis=-1
+        )
+        pish = jnp.stack(
+            [prev["psx"][:n, :B].T, prev["psy"][:n, :B].T], axis=-1
+        )
+        return hd_reward_stats_sym(ppos, pish, thresh=thresh, interpret=interp)
+
+    def finalize(haus, ncsum, velterm):
+        return n * (n * (velterm - haus) - ncsum)
+
+    def body(carry, _):
+        P, k, prev = carry
+        ks = jax.vmap(lambda kk: jax.random.split(kk))(k)
+        keys3 = jax.vmap(lambda kk: jax.random.split(kk, 3))(P["key"])
+        nx, ny, nvx, nvy, rowmin, colmin, cnt = fused_hd_step_planes(
+            P["x"], P["y"], P["vx"], P["vy"], P["rvx"], P["rvy"],
+            P["sx"], P["sy"], sub_cfg,
+            n=n, thresh=thresh, stats="pre", tile=tile, interpret=interp,
+            bfs_L=bfs_L, act_scale=act_scale,
+        )
+        # reward t-1: stats of this call's INPUT state (valid unless reset)
+        big = jnp.float32(3.4e38)
+        rm = jnp.where(rmask, rowmin, -big).max(axis=0)
+        cm = jnp.where(rmask, colmin, -big).max(axis=0)
+        haus_in = jnp.sqrt(jnp.maximum(rm, cm))[:B]
+        ncs_in = cnt.sum(axis=0)[:B]
+
+        def corrected(_):
+            h2, nc2 = stats_prev(prev)
+            return (
+                jnp.where(prev["done"], h2, haus_in),
+                jnp.where(prev["done"], nc2.sum(axis=-1), ncs_in),
+            )
+
+        h_prev, ncs_prev = jax.lax.cond(
+            jnp.any(prev["done"]), corrected,
+            lambda _: (haus_in, ncs_in), None,
+        )
+        r_prev = finalize(h_prev, ncs_prev, prev["vt"])
+
+        # this step's velocity term (post-physics, pre-reset)
+        mvx = nvx.sum(axis=0)[:B] / n  # pad rows are exactly 0
+        mvy = nvy.sum(axis=0)[:B] / n
+        ivx = P["rvx"][0, :B]
+        ivy = P["rvy"][0, :B]
+        velterm = -jnp.sqrt((ivx - mvx) ** 2 + (ivy - mvy) ** 2)
+
+        # landmark recentring onto the agent centroid (pre_obs,
+        # formation_hd_env.py:40-44) — plane ops, lane-parallel
+        amx = jnp.where(rmask, nx, 0.0).sum(axis=0) / n  # [Bp]
+        amy = jnp.where(rmask, ny, 0.0).sum(axis=0) / n
+        lmx = jnp.where(lmask, P["lx"], 0.0).sum(axis=0) / nl
+        lmy = jnp.where(lmask, P["ly"], 0.0).sum(axis=0) / nl
+        lx = jnp.where(lmask, P["lx"] + (amx - lmx)[None, :], P["lx"])
+        ly = jnp.where(lmask, P["ly"] + (amy - lmy)[None, :], P["ly"])
+
+        t = P["t"] + 1
+        done = t >= wl  # [B]
+        newP = dict(
+            x=nx, y=ny, vx=nvx, vy=nvy, sx=P["sx"], sy=P["sy"],
+            lx=lx, ly=ly, rvx=P["rvx"], rvy=P["rvy"], t=t,
+            key=keys3[:, 0],
+        )
+
+        def do_reset(newP):
+            fresh = jax.vmap(lambda kk: scen.pre_obs(scen.reset(kk)))(
+                keys3[:, 2]
+            )
+            F = to_planes(fresh)
+            dl = jnp.zeros((Bp,), bool).at[:B].set(done)[None, :]
+            out = {}
+            for kname, v in newP.items():
+                if kname in ("t", "key"):
+                    f = F[kname]
+                    sel = jnp.reshape(done, done.shape + (1,) * (v.ndim - 1))
+                    out[kname] = jnp.where(sel, f, v)
+                else:
+                    out[kname] = jnp.where(dl, F[kname], v)
+            return out
+
+        newP = jax.lax.cond(jnp.any(done), do_reset, lambda p: p, newP)
+        prev = dict(
+            px=nx, py=ny, psx=P["sx"], psy=P["sy"], vt=velterm, done=done
+        )
+        return (newP, ks[:, 0], prev), r_prev
+
+    (P, _, prev), ys = jax.lax.scan(
+        body, (P0, keys, prev0), None, length=length
+    )
+    h_last, nc_last = stats_prev(prev)
+    r_last = finalize(h_last, nc_last.sum(axis=-1), prev["vt"])
+    rewards = jnp.concatenate([ys[1:], r_last[None]], axis=0)
+
+    pos = jnp.concatenate(
+        [
+            jnp.stack([P["x"][:n, :B].T, P["y"][:n, :B].T], axis=-1),
+            jnp.stack([P["lx"][:nl, :B].T, P["ly"][:nl, :B].T], axis=-1),
+        ],
+        axis=1,
+    ).astype(state.pos.dtype)
+    vel = jnp.concatenate(
+        [
+            jnp.stack([P["vx"][:n, :B].T, P["vy"][:n, :B].T], axis=-1),
+            jnp.zeros((B, nl, 2), state.vel.dtype),
+        ],
+        axis=1,
+    ).astype(state.vel.dtype)
+    out_state = state.replace(
+        pos=pos,
+        vel=vel,
+        c=jnp.zeros_like(state.c),
+        ideal_shape=jnp.stack(
+            [P["sx"][:n, :B].T, P["sy"][:n, :B].T], axis=-1
+        ).astype(state.ideal_shape.dtype),
+        ideal_vel=jnp.stack([P["rvx"][0, :B], P["rvy"][0, :B]], axis=-1).astype(
+            state.ideal_vel.dtype
+        ),
+        t=P["t"],
+        key=P["key"],
+    )
+    return out_state, rewards
 
 
 def rollout_statepolicy_fused_sharded(

@@ -253,6 +253,67 @@ def _kernel(
         colmin_ref[:, :] = colacc[:, :]
 
 
+def fused_hd_step_planes(
+    x, y, vx, vy, aux_a, aux_b, sx, sy,
+    cfg: WorldCfg,
+    *,
+    n: int,
+    thresh: float,
+    stats: str = "pre",
+    tile: int = 16,
+    interpret: bool = False,
+    bfs_L: int = None,
+    act_scale: float = None,
+):
+    """Raw plane-level entry: inputs are already-padded transposed
+    ``[Ep, Bp]`` planes (pad agents at the distinct far sentinels, pad
+    vertices at the negated sentinels — see :func:`fused_hd_step`'s
+    wrapper).  ``aux_a/aux_b`` carry the action-force planes, or (bfs mode)
+    the root commanded velocity in row 0.  Returns the 7 output planes
+    ``(nx, ny, nvx, nvy, rowmin, colmin, cnt)``.  The SoA rollout
+    (:func:`gym_formation_tpu.env.rollout_statepolicy_fused`, planes mode)
+    calls this directly so the state never leaves the transposed layout
+    between steps."""
+    Ep, Bp = x.shape
+    nt = Ep // tile
+    post = stats == "post"
+    ms = cfg.max_speed[0] if np.any(np.isfinite(cfg.max_speed)) else None
+    kernel = functools.partial(
+        _kernel,
+        tile=tile,
+        nt=nt,
+        n=n,
+        post=post,
+        k=float(cfg.contact_margin),
+        invk=float(1.0 / cfg.contact_margin),
+        cf=float(cfg.contact_force),
+        dmin=float(2.0 * cfg.size[0]),
+        thresh2=float(thresh) * float(thresh),
+        damping=float(cfg.damping),
+        dt=float(cfg.dt),
+        inv_m=float(1.0 / cfg.mass[0]),
+        max_speed=None if ms is None else float(ms),
+        bfs_L=bfs_L,
+        act_scale=None if act_scale is None else float(act_scale),
+    )
+    if post:
+        grid = (Bp // LANE, 2, nt)
+        spec = pl.BlockSpec((Ep, LANE), lambda b, p, i: (0, b), memory_space=pltpu.VMEM)
+    else:
+        grid = (Bp // LANE, nt)
+        spec = pl.BlockSpec((Ep, LANE), lambda b, i: (0, b), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((Ep, Bp), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 7,
+        out_shape=[shape] * 7,
+        scratch_shapes=[pltpu.VMEM((Ep, LANE), jnp.float32)] * 4,
+        interpret=interpret,
+    )(x, y, vx, vy, aux_a, aux_b, sx, sy)
+
+
 def fused_hd_step(
     apos: Array,
     avel: Array,
@@ -323,44 +384,11 @@ def fused_hd_step(
     sx = pad_t(ishape[..., 0], -sent)
     sy = pad_t(ishape[..., 1], -sent)
 
-    nt = Ep // tile
-    post = stats == "post"
-    ms = cfg.max_speed[0] if np.any(np.isfinite(cfg.max_speed)) else None
-    kernel = functools.partial(
-        _kernel,
-        tile=tile,
-        nt=nt,
-        n=N,
-        post=post,
-        k=float(cfg.contact_margin),
-        invk=float(1.0 / cfg.contact_margin),
-        cf=float(cfg.contact_force),
-        dmin=float(2.0 * cfg.size[0]),
-        thresh2=float(thresh) * float(thresh),
-        damping=float(cfg.damping),
-        dt=float(cfg.dt),
-        inv_m=float(1.0 / cfg.mass[0]),
-        max_speed=None if ms is None else float(ms),
-        bfs_L=bfs_L,
-        act_scale=None if act_scale is None else float(act_scale),
+    nx, ny, nvx, nvy, rowmin, colmin, cnt = fused_hd_step_planes(
+        x, y, vx, vy, fax, fay, sx, sy, cfg,
+        n=N, thresh=thresh, stats=stats, tile=tile, interpret=interpret,
+        bfs_L=bfs_L, act_scale=act_scale,
     )
-    if post:
-        grid = (Bp // LANE, 2, nt)
-        spec = pl.BlockSpec((Ep, LANE), lambda b, p, i: (0, b), memory_space=pltpu.VMEM)
-    else:
-        grid = (Bp // LANE, nt)
-        spec = pl.BlockSpec((Ep, LANE), lambda b, i: (0, b), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((Ep, Bp), jnp.float32)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec] * 8,
-        out_specs=[spec] * 7,
-        out_shape=[shape] * 7,
-        scratch_shapes=[pltpu.VMEM((Ep, LANE), jnp.float32)] * 4,
-        interpret=interpret,
-    )(x, y, vx, vy, fax, fay, sx, sy)
-    nx, ny, nvx, nvy, rowmin, colmin, cnt = outs
     new_pos = jnp.stack([nx[:N, :B].T, ny[:N, :B].T], axis=-1).astype(apos.dtype)
     new_vel = jnp.stack([nvx[:N, :B].T, nvy[:N, :B].T], axis=-1).astype(avel.dtype)
     haus = jnp.sqrt(

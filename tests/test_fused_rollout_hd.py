@@ -72,14 +72,20 @@ def test_fused_rollout_inkernel_bfs_matches_step_path():
         lambda s, k: ft.rollout_statepolicy(env, bfs_policy, s, k, T)
     )(state, rollkeys)
     ref = np.asarray(rew_ref.sum(axis=-1)).T
-    st_f, rew = ft.rollout_statepolicy_fused(
-        env, None, state, rollkeys, T,
-        stats="pre", policy="bfs_ez", interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(rew), ref, atol=5e-3, rtol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(st_f.pos), np.asarray(st_ref.pos), atol=1e-3, rtol=1e-4
-    )
+    # layout auto -> SoA planes (the shipping fast path) AND the arrays
+    # body: both must reproduce the step-by-step reference
+    for layout in ("planes", "arrays"):
+        st_f, rew = ft.rollout_statepolicy_fused(
+            env, None, state, rollkeys, T,
+            stats="pre", policy="bfs_ez", interpret=True, layout=layout,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew), ref, atol=5e-3, rtol=1e-4, err_msg=layout
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_f.pos), np.asarray(st_ref.pos),
+            atol=1e-3, rtol=1e-4, err_msg=layout,
+        )
 
 
 def test_fused_rollout_states_match_step_path():
