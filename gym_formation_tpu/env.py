@@ -651,6 +651,9 @@ def _rollout_fused_planes(
     sub_cfg = cfg if sub is None else sub[3]
     thresh = float(2.0 * cfg.size[0] * scen.collision_factor)
     bfs_L = round(_math.log(n, 3))
+    assert 3**bfs_L == n, f"bfs_ez needs an arity-3 agent count, got {n}"
+    assert env.shared_reward and env.auto_reset and scen.scripted_mask is None
+    assert not cfg.has_noise() and bool(np.all(cfg.silent))
     su = np.unique(env._sensitivity), np.unique(cfg.act_coef[:n])
     assert len(su[0]) == 1 and len(su[1]) == 1
     act_scale = float(su[0][0] * su[1][0])
