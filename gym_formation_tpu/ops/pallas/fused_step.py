@@ -84,7 +84,7 @@ def _kernel(
     accx, accy, cntacc, colacc,
     *,
     tile, nt, n, post, k, invk, cf, dmin, thresh2, damping, dt, inv_m,
-    max_speed, bfs_L=None, act_scale=None,
+    max_speed, bfs_L=None, act_scale=None, fold=False,
 ):
     # bfs_L set: the arity-3 BFS + ezpolicy expansion runs IN-KERNEL on the
     # input planes (models/bfs_planes.py) and its action forces seed the
@@ -118,6 +118,12 @@ def _kernel(
         dy = yi[:, None, :] - yj[None, :, :]
         s = jnp.maximum(dx * dx + dy * dy, 1e-24)
         r = jax.lax.rsqrt(s)
+        if fold:
+            # constant-folded form: z = dmin/k - s*(r/k) and k*cf applied
+            # once — 2 fewer VPU slots per pair, ~1-ulp different rounding
+            z = (dmin * invk) - s * (r * invk)
+            pen = jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            return ((k * cf) * pen) * r, dx, dy, s
         dist = s * r
         z = (dmin - dist) * invk
         pen = (jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))) * k
@@ -264,6 +270,7 @@ def fused_hd_step_planes(
     interpret: bool = False,
     bfs_L: int = None,
     act_scale: float = None,
+    fold: bool = False,
 ):
     """Raw plane-level entry: inputs are already-padded transposed
     ``[Ep, Bp]`` planes (pad agents at the distinct far sentinels, pad
@@ -295,6 +302,7 @@ def fused_hd_step_planes(
         max_speed=None if ms is None else float(ms),
         bfs_L=bfs_L,
         act_scale=None if act_scale is None else float(act_scale),
+        fold=fold,
     )
     if post:
         grid = (Bp // LANE, 2, nt)
