@@ -72,6 +72,15 @@ class MAPPOConfig:
     # ~11% at B=4096 in the interleaved one-process A/B (RESULTS.md
     # round-4 table); True/False force.
     fused_collect: Optional[bool] = None
+    # Store O(N) state parts instead of the [T·B, N, 6N] observation tensor
+    # and evaluate the actor/critic first layers factorized from them
+    # (models/structured_obs.py — the hd observation is a linear repackaging
+    # of state, so ``obs @ W`` needs no obs).  At N=243 this removes a
+    # 4.5 GB trajectory tensor and ~45 G MACs/sample of first-layer work.
+    # None = auto: ON for formation_hd_env + shared continuous policy +
+    # all-silent agents + N >= 32 (below that the obs is small and the
+    # fused-collect kernel is the better path); True/False force.
+    structured_obs: Optional[bool] = None
     # Compute each PPO epoch's gradients in ONE Pallas kernel (fwd + handwritten
     # bwd on the MXU, ops/pallas/fused_ppo_grad.py) instead of jax.grad's
     # hundreds of small XLA kernels.  Continuous shared policy,
@@ -161,6 +170,26 @@ class MAPPO:
                 and jax.default_backend() == "tpu"
             )
         self.fused_collect = bool(fc)
+        so = cfg.structured_obs
+        if so is None:
+            so = (
+                env.scenario.name == "formation_hd_env"
+                and cfg.share_policy
+                and not self.discrete
+                and env._all_silent
+                and env.scenario.obs_dim == 6 * self.n_agents
+                and self.n_agents >= 32
+            )
+        self.structured_obs = bool(so)
+        if self.structured_obs:
+            assert (
+                env.scenario.name == "formation_hd_env"
+                and cfg.share_policy
+                and not self.discrete
+                and env._all_silent
+            ), "structured_obs needs the hd obs layout + shared continuous policy"
+            assert not cfg.fused_update, "structured_obs excludes fused_update"
+            self.fused_collect = False  # structured collection subsumes it
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=cfg.adam_eps),
@@ -340,6 +369,70 @@ class MAPPO:
         )
         return env_state, obs, traj, {}, last_value
 
+    def _parts(self, env_state):
+        """O(N) state parts that linearly determine the hd observation."""
+        n = self.n_agents
+        return dict(
+            apos=env_state.pos[:, :n],
+            avel=env_state.vel[:, :n],
+            ishape=env_state.ideal_shape,
+            ivel=env_state.ideal_vel,
+        )
+
+    def _structured_dist_value(self, params, parts):
+        from ..models.structured_obs import (
+            actor_forward_structured,
+            critic_forward_structured,
+        )
+
+        dist = actor_forward_structured(
+            params["actor"], parts["apos"], parts["avel"],
+            parts["ishape"], parts["ivel"], self.cfg.hidden,
+        )
+        value = critic_forward_structured(
+            params["critic"], parts["apos"], parts["avel"],
+            parts["ishape"], parts["ivel"], self.cfg.hidden,
+        )
+        return dist, value
+
+    def _collect_structured(self, ts: MAPPOState, env_state, obs, key):
+        """Obs-free collection: the trajectory stores the O(N) state parts
+        the hd observation is a linear function of; nothing consumes
+        ``out.obs``, so XLA dead-code-eliminates the [B, N, 6N] observation
+        construction inside the env step entirely."""
+
+        def step_fn(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            parts = self._parts(env_state)
+            dist, value = self._structured_dist_value(ts.params, parts)
+            action = self._dist_sample(k_act, dist)
+            logp = self._dist_logp(dist, action)
+            env_state, out = jax.vmap(self.env.step)(env_state, action)
+            traj = dict(
+                parts,
+                action=action,
+                logp=logp,
+                value=value,
+                reward=(
+                    out.reward[:, 0]
+                    if self.env.shared_reward
+                    else out.reward.mean(axis=1)
+                ),
+                done=out.done[:, 0],
+            )
+            return (env_state, key), (traj, benchmark_means(out.info))
+
+        (env_state, key), (traj, bench) = jax.lax.scan(
+            step_fn, (env_state, key), None, length=self.cfg.rollout_len
+        )
+        _, last_value = self._structured_dist_value(
+            ts.params, self._parts(env_state)
+        )
+        # obs passes through untouched (aliased): the structured path never
+        # materializes it, but the train_step interface threads it
+        return env_state, obs, traj, bench, last_value
+
     def _gae(self, ts: MAPPOState, traj, last_value):
         """GAE over the scan axis, in *raw* return space (values are stored in
         normalized space when value_norm is on)."""
@@ -374,8 +467,12 @@ class MAPPO:
     # -- update -------------------------------------------------------------
     def _loss(self, params, batch, vn: ValueNorm):
         cfg = self.cfg
-        obs = batch["obs"]
-        dist = self._apply_actor(params["actor"], obs)  # [M,N,da]
+        if "obs" in batch:
+            obs = batch["obs"]
+            dist = self._apply_actor(params["actor"], obs)  # [M,N,da]
+            value = None
+        else:  # structured path: state parts instead of observations
+            dist, value = self._structured_dist_value(params, batch)
         logp = self._dist_logp(dist, batch["action"])  # [M,N]
         # clamp the log-ratio: a policy far from the behavior policy after
         # many epochs otherwise overflows exp() into inf/NaN gradients
@@ -388,9 +485,10 @@ class MAPPO:
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
         entropy = self._dist_entropy(dist)
 
-        # derived, not stored: identical bytes to the rollout-time share_obs
-        share_obs = obs.reshape(obs.shape[0], -1)
-        value = self._apply_critic(params["critic"], share_obs)
+        if value is None:
+            # derived, not stored: identical bytes to rollout-time share_obs
+            share_obs = obs.reshape(obs.shape[0], -1)
+            value = self._apply_critic(params["critic"], share_obs)
         target = batch["target"]
         v_old = batch["value"]
         v_clip = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)
@@ -549,7 +647,12 @@ class MAPPO:
         """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
         cfg = self.cfg
         k_roll, k_upd = jax.random.split(key)
-        collect = self._collect_fused if self.fused_collect else self._collect
+        if self.structured_obs:
+            collect = self._collect_structured
+        elif self.fused_collect:
+            collect = self._collect_fused
+        else:
+            collect = self._collect
         env_state, obs, traj, bench, last_value = collect(
             ts, env_state, obs, k_roll
         )
@@ -565,14 +668,14 @@ class MAPPO:
 
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-5)
         flat = lambda x: x.reshape((cfg.rollout_len * self.num_envs,) + x.shape[2:])
-        data = {
-            "obs": flat(traj["obs"]),
-            "action": flat(traj["action"]),
-            "logp": flat(traj["logp"]),
-            "value": flat(traj["value"]),
-            "adv": flat(adv_n),
-            "target": flat(target),
-        }
+        keys = (
+            ("apos", "avel", "ishape", "ivel")
+            if self.structured_obs
+            else ("obs",)
+        ) + ("action", "logp", "value")
+        data = {k: flat(traj[k]) for k in keys}
+        data["adv"] = flat(adv_n)
+        data["target"] = flat(target)
         update = self._update_fused if cfg.fused_update else self._update
         ts, metrics = update(ts, data, k_upd)
         metrics["mean_step_reward"] = jnp.mean(traj["reward"])

@@ -1,0 +1,117 @@
+"""Parity of the factorized (obs-free) hd first layers
+(models/structured_obs.py) against the naive ``obs @ W`` path, and of the
+structured MAPPO trajectory against the obs-storing one."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gym_formation_tpu as ft
+from gym_formation_tpu.algos import MAPPO, MAPPOConfig
+from gym_formation_tpu.models.networks import GaussianActor, ValueCritic
+from gym_formation_tpu.models.structured_obs import (
+    actor_forward_structured,
+    critic_forward_structured,
+    hd_actor_h1,
+    hd_critic_h1,
+)
+
+
+def _setup(N, B, key):
+    env = ft.make_env("formation_hd_env", num_agents=N)
+    state, obs = jax.vmap(env.reset)(jax.random.split(key, B))
+    parts = (
+        state.pos[:, :N],
+        state.vel[:, :N],
+        state.ideal_shape,
+        state.ideal_vel,
+    )
+    return env, np.asarray(obs), parts
+
+
+def test_structured_first_layers_match_obs_matmul():
+    """h1 = obs @ W + b reproduced from O(N) state (prefix/suffix sums for
+    the slot-shifted others_rel blocks; V/U precomputes for the critic)."""
+    for N in (27, 243):
+        env, obs, parts = _setup(N, 4, jax.random.PRNGKey(N))
+        do = 6 * N
+        actor = GaussianActor(2, (64, 64))
+        critic = ValueCritic((64, 64))
+        pa = actor.init(jax.random.PRNGKey(1), jnp.zeros((1, do)))
+        pc = critic.init(jax.random.PRNGKey(2), jnp.zeros((1, N * do)))
+        W = pa["params"]["MLP_0"]["Dense_0"]["kernel"]
+        b = pa["params"]["MLP_0"]["Dense_0"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(hd_actor_h1(W, b, *parts)),
+            obs @ np.asarray(W) + np.asarray(b),
+            atol=2e-5,
+        )
+        Wc = pc["params"]["MLP_0"]["Dense_0"]["kernel"]
+        bc = pc["params"]["MLP_0"]["Dense_0"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(hd_critic_h1(Wc, bc, *parts)),
+            obs.reshape(4, N * do) @ np.asarray(Wc) + np.asarray(bc),
+            atol=5e-5,
+        )
+        # full forwards
+        m_ref, _ = actor.apply(pa, jnp.asarray(obs))
+        m, _ = actor_forward_structured(pa, *parts, (64, 64))
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-6)
+        v_ref = critic.apply(pc, jnp.asarray(obs.reshape(4, N * do)))
+        v = critic_forward_structured(pc, *parts, (64, 64))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=2e-5)
+
+
+def test_structured_train_step_matches_naive():
+    """One full MAPPO iteration with the structured trajectory reproduces
+    the obs-storing iteration's metrics (same seeds)."""
+    env = ft.make_env("formation_hd_env", num_agents=27)
+    out = {}
+    for mode in (True, False):
+        algo = MAPPO(
+            env,
+            MAPPOConfig(rollout_len=6, ppo_epochs=2, structured_obs=mode),
+            num_envs=8,
+        )
+        assert algo.structured_obs is mode
+        ts, es, obs = algo.init(jax.random.PRNGKey(0))
+        ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(10))
+        out[mode] = {k: float(v) for k, v in m.items()}
+        assert all(math.isfinite(v) for v in out[mode].values())
+    for k, v in out[True].items():
+        np.testing.assert_allclose(v, out[False][k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_structured_auto_gate():
+    """auto: ON for hd at N>=32, OFF for small N / discrete / other
+    scenarios; forcing on an ineligible config raises."""
+    hd_big = ft.make_env("formation_hd_env", num_agents=81)
+    assert MAPPO(hd_big, MAPPOConfig(), num_envs=4).structured_obs
+    hd_small = ft.make_env("formation_hd_env", num_agents=3)
+    assert not MAPPO(hd_small, MAPPOConfig(), num_envs=4).structured_obs
+    basic = ft.make_env("basic_formation_env", num_agents=33)
+    assert not MAPPO(basic, MAPPOConfig(), num_envs=4).structured_obs
+    import pytest
+
+    with pytest.raises(AssertionError):
+        MAPPO(basic, MAPPOConfig(structured_obs=True), num_envs=4)
+
+
+def test_structured_multi_iter_learning_signal():
+    """A few structured iterations keep finite metrics and move v_loss."""
+    env = ft.make_env("formation_hd_env", num_agents=27)
+    algo = MAPPO(
+        env,
+        MAPPOConfig(rollout_len=8, ppo_epochs=2, structured_obs=True),
+        num_envs=8,
+    )
+    ts, es, obs = algo.init(jax.random.PRNGKey(3))
+    vlosses = []
+    for i in range(4):
+        ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(20 + i))
+        assert all(math.isfinite(float(v)) for v in m.values())
+        vlosses.append(float(m["v_loss"]))
+    assert vlosses[-1] < vlosses[0]  # the critic is fitting
