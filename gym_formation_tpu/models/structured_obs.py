@@ -62,20 +62,20 @@ def hd_actor_h1(W: Array, b: Array, apos, avel, ishape, ivel) -> Array:
     """
     n = apos.shape[-2]
     Wv, Wr, Ws, Wi = _split_actor_w(W, n)
-    # prefix: Σ_{k<i} p_k@W̃[k] — a_j defined for j ≤ N-2
+    # prefix: Σ_{k<i} p_k@W̃[k] — a_j defined for j ≤ N-2.  The running sums
+    # are triangular MATMULS, not jnp.cumsum: on TPU cumsum lowers to an
+    # N-step sequential scan (measured ~39 ms/step of the N=243 collection
+    # before this change); a [N, N-1] 0/1 triangle contracted on the MXU is
+    # one pass (~3.9 G MACs at N=243, B=1024 — noise).
     a = jnp.einsum("...kc,kch->...kh", apos[..., : n - 1, :], Wr)
-    P1 = jnp.concatenate(
-        [jnp.zeros_like(a[..., :1, :]), jnp.cumsum(a, axis=-2)], axis=-2
-    )  # [..., N, H]: P1_i = Σ_{k≤i-1} a_k
-    # suffix: Σ_{k>i} p_k@W̃[k−1] — b'_j = p_{j+1}@W̃[j]
+    i_idx = jnp.arange(n)[:, None]
+    j_idx = jnp.arange(n - 1)[None, :]
+    tri_lo = (j_idx < i_idx).astype(a.dtype)  # [N, N-1]: strict lower
+    P1 = jnp.einsum("ik,...kh->...ih", tri_lo, a)  # P1_i = Σ_{k<i} a_k
+    # suffix: Σ_{k>i} p_k@W̃[k−1] — b'_j = p_{j+1}@W̃[j], S1_i = Σ_{j≥i} b'_j
     bp = jnp.einsum("...kc,kch->...kh", apos[..., 1:, :], Wr)
-    S1 = jnp.concatenate(
-        [
-            jnp.cumsum(bp[..., ::-1, :], axis=-2)[..., ::-1, :],
-            jnp.zeros_like(bp[..., :1, :]),
-        ],
-        axis=-2,
-    )  # [..., N, H]: S1_i = Σ_{j≥i} b'_j (i ≤ N-2), S1_{N-1} = 0
+    tri_hi = (j_idx >= i_idx).astype(a.dtype)  # [N, N-1]
+    S1 = jnp.einsum("ik,...kh->...ih", tri_hi, bp)
     U = Wr.sum(axis=0)  # [2, H]
     shared = (
         ishape.reshape(*ishape.shape[:-2], 2 * n) @ Ws + ivel @ Wi + b

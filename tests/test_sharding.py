@@ -247,3 +247,25 @@ def test_fused_step_rollout_sharded_equals_single(key):
     np.testing.assert_allclose(
         np.asarray(st8.pos), np.asarray(st1.pos), atol=1e-5
     )
+
+
+@needs_8
+def test_mappo_structured_obs_train_step_on_mesh(key):
+    """The obs-free MAPPO trajectory (structured_obs, auto-on at N>=32)
+    shards over the data mesh like the obs-storing one: one train_step on
+    dp=4 x tp=2 with finite metrics and preserved param sharding."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    env = ft.make_env("formation_hd_env", num_agents=33)
+    algo = MAPPO(env, MAPPOConfig(rollout_len=3, ppo_epochs=1), num_envs=8)
+    assert algo.structured_obs  # auto-on at this N
+    ts, es, obs = algo.init(key)
+    ts = ts.replace(
+        params=jax.device_put(
+            ts.params, model_sharding_for_params(ts.params, mesh)
+        )
+    )
+    es = shard_batch(es, mesh)
+    obs = shard_batch(obs, mesh)
+    ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    assert np.isfinite(float(m["v_loss"]))
