@@ -84,8 +84,14 @@ def main():
     assert math.isfinite(v)
     print(f"{'full train_step':>28}: {dt_full * 1e3:8.2f} ms/iter", flush=True)
 
-    # collection only
-    collect_fn = algo._collect_fused if args.fused else algo._collect
+    # collection only — mirror the path train_step actually resolved
+    # (structured_obs auto-on at N>=32 replaces both scan and fused collect)
+    if algo.structured_obs:
+        collect_fn = algo._collect_structured
+    elif algo.fused_collect:
+        collect_fn = algo._collect_fused
+    else:
+        collect_fn = algo._collect
 
     @jax.jit
     def collect(carry):
