@@ -64,8 +64,12 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    # full train_step (chained through its own outputs)
-    @jax.jit
+    # full train_step (chained through its own outputs; donate the carry —
+    # without it the wrapper holds two generations of the [T·B, ...]
+    # trajectory-scale buffers and OOMs at N=243 B>=1024)
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0,))
     def full(carry):
         ts, es, obs = carry
         ts, es, obs, m = algo.train_step(ts, es, obs, key)
@@ -84,8 +88,10 @@ def main():
     assert math.isfinite(v)
     print(f"{'full train_step':>28}: {dt_full * 1e3:8.2f} ms/iter", flush=True)
 
-    # collection only — mirror the path train_step actually resolved
-    # (structured_obs auto-on at N>=32 replaces both scan and fused collect)
+    # collection only — fresh tuple (the full phase donated the first one);
+    # mirror the path train_step actually resolved (structured_obs auto-on
+    # at N>=32 replaces both scan and fused collect)
+    ts, es, obs = algo.init(jax.random.PRNGKey(0))
     if algo.structured_obs:
         collect_fn = algo._collect_structured
     elif algo.fused_collect:
@@ -93,7 +99,7 @@ def main():
     else:
         collect_fn = algo._collect
 
-    @jax.jit
+    @_partial(jax.jit, donate_argnums=(0,))
     def collect(carry):
         es, obs = carry
         es2, obs2, traj, bench, last_v = collect_fn(ts, es, obs, key)
