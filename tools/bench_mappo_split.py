@@ -75,14 +75,12 @@ def main():
         ts, es, obs, m = algo.train_step(ts, es, obs, key)
         return (ts, es, obs, m["v_loss"])
 
-    st = (ts, es, obs)
-    out = full(st)
-    v = float(out[3])
+    o = full((ts, es, obs))  # donates the init tuple
+    v = float(o[3])
     assert math.isfinite(v)
     t0 = time.perf_counter()
-    o = st
     for _ in range(args.iters):
-        o = full(o[:3]) if len(o) == 4 else full(o)
+        o = full(o[:3])
     v = float(o[3])
     dt_full = (time.perf_counter() - t0) / args.iters
     assert math.isfinite(v)
@@ -105,14 +103,12 @@ def main():
         es2, obs2, traj, bench, last_v = collect_fn(ts, es, obs, key)
         return (es2, obs2, traj["reward"].sum() + last_v.sum())
 
-    c = collect((es, obs))
-    v = float(c[2])
+    r = collect((es, obs))  # donates the fresh tuple
+    v = float(r[2])
     assert math.isfinite(v)
     t0 = time.perf_counter()
-    cc = (es, obs)
     for _ in range(args.iters):
-        r = collect(cc)
-        cc = (r[0], r[1])
+        r = collect((r[0], r[1]))
     v = float(r[2])
     dt_col = (time.perf_counter() - t0) / args.iters
     assert math.isfinite(v)
