@@ -99,22 +99,21 @@ def _critic_vu(Wc: Array, n: int):
     Ws_sum = Wb[:, 4 * n - 2 : 6 * n - 2].sum(axis=0)  # [2N, H]
     Wi_sum = Wb[:, 6 * n - 2 : 6 * n].sum(axis=0)  # [2, H]
     U_i = Wr_i.sum(axis=1)  # [N, 2, H]
-    # V_k = Σ_{i>k} A_i[k] + Σ_{i<k} A_i[k−1]
-    # C1[k] = Σ_{i≥k+1} A_i[k]: reversed cumsum over i, diagonal at (k+1, k)
-    rc = jnp.cumsum(Wr_i[::-1], axis=0)[::-1]  # rc[i, j] = Σ_{l≥i} A_l[j]
-    idx = jnp.arange(n)
-    C1 = jnp.where(
-        (idx < n - 1)[:, None, None],
-        rc[jnp.minimum(idx + 1, n - 1), jnp.minimum(idx, n - 2)],
-        0.0,
-    )  # [N, 2, H]
-    c = jnp.cumsum(Wr_i, axis=0)  # c[i, j] = Σ_{l≤i} A_l[j]
-    C2 = jnp.where(
-        (idx > 0)[:, None, None],
-        c[jnp.maximum(idx - 1, 0), jnp.maximum(idx - 1, 0)],
-        0.0,
-    )
-    return Wv_i, U_i, C1 + C2, Ws_sum, Wi_sum
+    # V_k = Σ_{i>k} A_i[k] + Σ_{i<k} A_i[k−1] — built with masked einsums
+    # and pads only (a diagonal gather here has a scatter for its backward,
+    # which TPUs execute serially; this runs inside jax.grad every epoch)
+    i_idx = jnp.arange(n)[:, None]
+    j_idx = jnp.arange(n - 1)[None, :]
+    dt = Wr_i.dtype
+    C1 = jnp.einsum(
+        "ijch,ij->jch", Wr_i, (i_idx > j_idx).astype(dt)
+    )  # C1[j] = Σ_{i>j} A_i[j]
+    C2p = jnp.einsum(
+        "ijch,ij->jch", Wr_i, (i_idx <= j_idx).astype(dt)
+    )  # C2p[j] = Σ_{i≤j} A_i[j]
+    z = jnp.zeros_like(C1[:1])
+    V = jnp.concatenate([C1, z], axis=0) + jnp.concatenate([z, C2p], axis=0)
+    return Wv_i, U_i, V, Ws_sum, Wi_sum
 
 
 def hd_critic_h1(Wc: Array, bc: Array, apos, avel, ishape, ivel) -> Array:
