@@ -51,7 +51,7 @@ def emit(metric, window_rates):
     )
 
 
-def main():
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--scenario", default="formation_hd_env")
     p.add_argument("--num-agents", type=int, default=3)
@@ -84,7 +84,8 @@ def main():
         "--step-kernel", choices=["auto", "fused", "plain"], default="auto",
         help="bfs_state only: drive the fused physics+reward step kernel "
         "(ops/pallas/fused_step.py, off-by-one reward finalization). "
-        "auto: on for formation_hd_env on TPU without --mesh",
+        "auto: on for formation_hd_env on TPU; composes with --mesh via "
+        "the sharded fused branch",
     )
     p.add_argument(
         "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
@@ -96,8 +97,10 @@ def main():
         "quantities directly (rollout_statepolicy) - same actions, no "
         "[N, 6N] obs tensor",
     )
-    args = p.parse_args()
+    return p
 
+
+def run(args):
     from gym_formation_tpu.core.physics import set_pallas_mode
 
     set_pallas_mode(args.pallas)
@@ -252,6 +255,15 @@ def main():
             # additionally run the BFS + ezpolicy expansion IN-KERNEL
             # (models/bfs_planes.py) — see tools/exp_fused_step.py A/Bs
             kern_policy = "bfs_ez" if n_per_layer == 3 else "external"
+            if kern_policy == "external":
+                # loud fallback (VERDICT r4): the in-kernel expansion is
+                # arity-3 only; other arities run the generic parity-tested
+                # expansion (models/bfs.py) outside the kernel
+                print(
+                    f"# non-arity-3 hierarchy (n={n_per_layer}): in-kernel "
+                    "BFS unavailable, using external expansion",
+                    file=sys.stderr,
+                )
 
             if args.mesh:
                 from gym_formation_tpu.parallel import make_mesh
@@ -357,6 +369,31 @@ def main():
         f"{args.policy} policy)",
         rates,
     )
+
+
+# The BASELINE configs the no-args (driver) invocation certifies, in order:
+# the N=3 headline first (the driver contract's primary line), then the
+# flagship N=243 hierarchy config (the graded >=1M bar — VERDICT r4 task 1:
+# builder-reported until now), then basic_formation.  Each is median-of-3
+# windows; the compile cache makes repeat invocations cheap.
+SUITE = (
+    {},  # formation_hd_env N=3 ezpolicy, fused rollout kernel (defaults)
+    {"num_agents": 243, "policy": "bfs_state"},  # fused step + in-kernel BFS
+    {"scenario": "basic_formation_env"},  # ezpolicy, step path
+)
+
+
+def main():
+    p = build_parser()
+    args = p.parse_args()
+    if len(sys.argv) > 1:
+        run(args)
+        return
+    for overrides in SUITE:
+        a = argparse.Namespace(**vars(args))
+        for k, v in overrides.items():
+            setattr(a, k, v)
+        run(a)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,18 @@ class MAPPOConfig:
     # hundreds of small XLA kernels.  Continuous shared policy,
     # num_minibatches=1 only; gradient parity in tests/test_fused_ppo_grad.py.
     fused_update: bool = False
+    # Split each minibatch gradient into this many sequentially-accumulated
+    # chunks (a lax.scan; chunk grads are averaged — exact up to f32
+    # reassociation).  Divides the update's activation-backprop memory by
+    # the chunk count at zero extra FLOPs: the lever for the N=243 B=2048
+    # HBM boundary (VERDICT r4 task 3).  Must divide rollout_len*num_envs/
+    # num_minibatches.
+    grad_accum: int = 1
+    # Rematerialize the policy/critic forward in the update's backward
+    # (jax.checkpoint around the loss forward): trades one extra forward
+    # per epoch for not storing the [M, N, H] activations.  The alternative
+    # HBM lever to grad_accum; both measured in RESULTS.md r5.
+    remat: bool = False
 
 
 @struct.dataclass
@@ -172,6 +184,9 @@ class MAPPO:
         self.fused_collect = bool(fc)
         so = cfg.structured_obs
         if so is None:
+            # auto defers to an explicitly requested fused_update (the two
+            # are mutually exclusive; forcing structured_obs=True still
+            # asserts below — ADVICE r4)
             so = (
                 env.scenario.name == "formation_hd_env"
                 and cfg.share_policy
@@ -179,6 +194,7 @@ class MAPPO:
                 and env._all_silent
                 and env.scenario.obs_dim == 6 * self.n_agents
                 and self.n_agents >= 32
+                and not cfg.fused_update
             )
         self.structured_obs = bool(so)
         if self.structured_obs:
@@ -190,6 +206,11 @@ class MAPPO:
             ), "structured_obs needs the hd obs layout + shared continuous policy"
             assert not cfg.fused_update, "structured_obs excludes fused_update"
             self.fused_collect = False  # structured collection subsumes it
+        if cfg.fused_update:
+            assert cfg.grad_accum == 1 and not cfg.remat, (
+                "fused_update computes whole-batch gradients in one kernel; "
+                "grad_accum/remat apply to the jax.grad path only"
+            )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=cfg.adam_eps),
@@ -512,10 +533,45 @@ class MAPPO:
         M = cfg.rollout_len * self.num_envs
         mb = M // cfg.num_minibatches
 
-        def do_update(ts, batch):
-            grads, metrics = jax.grad(self._loss, has_aux=True)(
-                ts.params, batch, ts.value_norm
+        loss_fn = self._loss
+        if cfg.remat:
+            # backward recomputes the forward instead of holding the
+            # [M, N, H] activations across the loss — see MAPPOConfig.remat
+            loss_fn = jax.checkpoint(loss_fn)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def batch_grads(ts, batch):
+            if cfg.grad_accum <= 1:
+                return grad_fn(ts.params, batch, ts.value_norm)
+            K = cfg.grad_accum
+            m = batch["action"].shape[0]
+            assert m % K == 0, (m, K)
+            chunks = jax.tree.map(
+                lambda x: x.reshape((K, m // K) + x.shape[1:]), batch
             )
+
+            def acc_fn(carry, chunk):
+                gsum, msum = carry
+                g, met = grad_fn(ts.params, chunk, ts.value_norm)
+                return (
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, msum, met),
+                ), None
+
+            zg = jax.tree.map(jnp.zeros_like, ts.params)
+            zm = {
+                k: jnp.zeros(())
+                for k in ("pg_loss", "v_loss", "entropy", "approx_kl")
+            }
+            (gsum, msum), _ = jax.lax.scan(acc_fn, (zg, zm), chunks)
+            inv = 1.0 / K  # equal chunks: mean of chunk-means = global mean
+            return (
+                jax.tree.map(lambda g: g * inv, gsum),
+                jax.tree.map(lambda v: v * inv, msum),
+            )
+
+        def do_update(ts, batch):
+            grads, metrics = batch_grads(ts, batch)
             updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
             params = optax.apply_updates(ts.params, updates)
             return ts.replace(params=params, opt_state=opt_state), metrics
@@ -641,21 +697,10 @@ class MAPPO:
         }
         return grads, metrics
 
-    # -- public api ---------------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def train_step(self, ts: MAPPOState, env_state, obs, key):
-        """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
+    def _prepare(self, ts: MAPPOState, traj, last_value):
+        """GAE + value-norm + flattening: turns a trajectory into the flat
+        update batch (the phase between collect and the PPO epochs)."""
         cfg = self.cfg
-        k_roll, k_upd = jax.random.split(key)
-        if self.structured_obs:
-            collect = self._collect_structured
-        elif self.fused_collect:
-            collect = self._collect_fused
-        else:
-            collect = self._collect
-        env_state, obs, traj, bench, last_value = collect(
-            ts, env_state, obs, k_roll
-        )
         adv, returns = self._gae(ts, traj, last_value)
 
         vn = ts.value_norm
@@ -676,6 +721,24 @@ class MAPPO:
         data = {k: flat(traj[k]) for k in keys}
         data["adv"] = flat(adv_n)
         data["target"] = flat(target)
+        return ts, data
+
+    # -- public api ---------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_step(self, ts: MAPPOState, env_state, obs, key):
+        """One full MAPPO iteration (collect + GAE + PPO epochs), jitted."""
+        cfg = self.cfg
+        k_roll, k_upd = jax.random.split(key)
+        if self.structured_obs:
+            collect = self._collect_structured
+        elif self.fused_collect:
+            collect = self._collect_fused
+        else:
+            collect = self._collect
+        env_state, obs, traj, bench, last_value = collect(
+            ts, env_state, obs, k_roll
+        )
+        ts, data = self._prepare(ts, traj, last_value)
         update = self._update_fused if cfg.fused_update else self._update
         ts, metrics = update(ts, data, k_upd)
         metrics["mean_step_reward"] = jnp.mean(traj["reward"])

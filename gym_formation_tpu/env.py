@@ -481,6 +481,11 @@ def rollout_statepolicy_fused(
         import math as _math
 
         bfs_L = round(_math.log(n, 3))
+        assert 3**bfs_L == n, (
+            f"policy='bfs_ez' runs the ARITY-3 in-kernel BFS expansion "
+            f"(models/bfs_planes.py); N={n} is not a power of 3 — use "
+            f"policy='external' with models/bfs.py (any arity, parity-tested)"
+        )
         su = np.unique(env._sensitivity), np.unique(cfg.act_coef[:n])
         assert len(su[0]) == 1 and len(su[1]) == 1, "bfs_ez wants uniform scaling"
         act_scale = float(su[0][0] * su[1][0])
@@ -828,6 +833,9 @@ def _rollout_fused_planes(
     return out_state, rewards
 
 
+_fused_sharded_cache: dict = {}
+
+
 def rollout_statepolicy_fused_sharded(
     env: FormationEnv,
     state_policy_fn,
@@ -846,23 +854,35 @@ def rollout_statepolicy_fused_sharded(
     the unsharded call."""
     from jax.sharding import PartitionSpec as P
 
-    spec = jax.tree.map(lambda _: P(axis), state)
+    # Cache the jitted shard_map closure: jit keys on the callable object, so
+    # rebuilding it per invocation re-traces the whole T-step rollout every
+    # call (ADVICE r4 — bench.py's mesh branch was paying trace+lower inside
+    # every timed window).
+    ck = (id(env), state_policy_fn, length, mesh, axis,
+          tuple(sorted(kw.items())))
+    hit = _fused_sharded_cache.get(ck)
+    if hit is None:
+        spec = jax.tree.map(lambda _: P(axis), state)
 
-    def fn(st, ks):
-        return rollout_statepolicy_fused(
-            env, state_policy_fn, st, ks, length, **kw
-        )
+        def fn(st, ks):
+            return rollout_statepolicy_fused(
+                env, state_policy_fn, st, ks, length, **kw
+            )
 
-    return jax.jit(
-        jax.shard_map(
-            fn,
-            mesh=mesh,
-            in_specs=(spec, P(axis)),
-            out_specs=(spec, P(None, axis)),
-            # pallas_call outputs carry no vma annotation; per-shard pure
-            check_vma=False,
+        hit = jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(spec, P(axis)),
+                out_specs=(spec, P(None, axis)),
+                # pallas_call outputs carry no vma annotation; per-shard pure
+                check_vma=False,
+            )
         )
-    )(state, keys)
+        _fused_sharded_cache[ck] = (env, hit)  # keep env alive (id-keyed)
+    else:
+        hit = hit[1]
+    return hit(state, keys)
 
 
 def make_receptor_locations(receptor_type: str = "polar") -> np.ndarray:

@@ -175,6 +175,15 @@ class FormationHDScenario(Scenario):
                 )
             )
             xla = lambda a, s: jax.vmap(self._hd_stats_xla)(a, s)
+            if _physics._REWARD_IMPL == "sym" and not eligible:
+                # forced: a silent XLA fallback would let a forced-sym
+                # benchmark time the fallback while labeled sym — mirror the
+                # pair-force forced-dispatch assert (ADVICE r4)
+                raise AssertionError(
+                    "set_reward_impl('sym') forced but the reward kernel is "
+                    "not eligible here (needs uniform sizes, f32 batch, "
+                    "pallas mode on/auto with N >= threshold)"
+                )
             if _physics._REWARD_IMPL == "rowmajor":
                 from ..ops.pallas.reward import hd_reward_stats_batched as kern
             else:

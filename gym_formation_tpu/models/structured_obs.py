@@ -62,28 +62,32 @@ def hd_actor_h1(W: Array, b: Array, apos, avel, ishape, ivel) -> Array:
     """
     n = apos.shape[-2]
     Wv, Wr, Ws, Wi = _split_actor_w(W, n)
-    # prefix: Σ_{k<i} p_k@W̃[k] — a_j defined for j ≤ N-2.  The running sums
-    # are triangular MATMULS, not jnp.cumsum: on TPU cumsum lowers to an
-    # N-step sequential scan (measured ~39 ms/step of the N=243 collection
-    # before this change); a [N, N-1] 0/1 triangle contracted on the MXU is
-    # one pass (~3.9 G MACs at N=243, B=1024 — noise).
-    a = jnp.einsum("...kc,kch->...kh", apos[..., : n - 1, :], Wr)
+    # prefix + suffix in ONE triangle (r5).  The running sums are triangular
+    # MATMULS, not jnp.cumsum: on TPU cumsum lowers to an N-step sequential
+    # scan (measured ~39 ms/step of the N=243 collection before r4's
+    # triangle form).  r4 used two triangles (P1_i = Σ_{k<i} a_k with
+    # a_k = p_k@W̃[k], and S1_i = Σ_{j≥i} b'_j with b'_j = p_{j+1}@W̃[j]);
+    # since S1_i = TOT − Σ_{j<i} b'_j with TOT = Σ_j b'_j,
+    #     P1_i + S1_i = TOT + Σ_{k<i} (a_k − b'_k)
+    # and a_k − b'_k = (p_k − p_{k+1})@W̃[k] — one slot-block einsum and one
+    # [N, N-1] triangle contraction instead of two of each.  The triangles
+    # are the dominant MACs of the whole N=243 update (96 G/epoch each at
+    # B=1024 in forward alone), so this halves the leading term exactly
+    # (up to f32 reassociation; parity in tests/test_structured_obs.py).
+    diff = apos[..., : n - 1, :] - apos[..., 1:, :]
+    d = jnp.einsum("...kc,kch->...kh", diff, Wr)  # a_k − b'_k
+    tot = jnp.einsum("...kc,kch->...h", apos[..., 1:, :], Wr)  # TOT
     i_idx = jnp.arange(n)[:, None]
     j_idx = jnp.arange(n - 1)[None, :]
-    tri_lo = (j_idx < i_idx).astype(a.dtype)  # [N, N-1]: strict lower
-    P1 = jnp.einsum("ik,...kh->...ih", tri_lo, a)  # P1_i = Σ_{k<i} a_k
-    # suffix: Σ_{k>i} p_k@W̃[k−1] — b'_j = p_{j+1}@W̃[j], S1_i = Σ_{j≥i} b'_j
-    bp = jnp.einsum("...kc,kch->...kh", apos[..., 1:, :], Wr)
-    tri_hi = (j_idx >= i_idx).astype(a.dtype)  # [N, N-1]
-    S1 = jnp.einsum("ik,...kh->...ih", tri_hi, bp)
+    tri_lo = (j_idx < i_idx).astype(d.dtype)  # [N, N-1]: strict lower
+    P = jnp.einsum("ik,...kh->...ih", tri_lo, d)  # Σ_{k<i} (a_k − b'_k)
     U = Wr.sum(axis=0)  # [2, H]
     shared = (
-        ishape.reshape(*ishape.shape[:-2], 2 * n) @ Ws + ivel @ Wi + b
-    )  # [..., H] — identical for every agent (obs broadcasts these blocks)
+        ishape.reshape(*ishape.shape[:-2], 2 * n) @ Ws + ivel @ Wi + b + tot
+    )  # [..., H] — per-env terms the obs broadcasts to every agent
     return (
         avel @ Wv
-        + P1
-        + S1
+        + P
         - apos @ U
         + shared[..., None, :]
     )

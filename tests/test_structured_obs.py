@@ -100,6 +100,49 @@ def test_structured_auto_gate():
         MAPPO(basic, MAPPOConfig(structured_obs=True), num_envs=4)
 
 
+def test_grad_accum_and_remat_match_plain_update():
+    """grad_accum chunking and remat are exact levers: one train iteration
+    produces the same metrics as the plain whole-batch gradient (same seeds;
+    f32-reassociation tolerance)."""
+    env = ft.make_env("formation_hd_env", num_agents=27)
+    out = {}
+    for tag, kw in (
+        ("plain", {}),
+        ("accum4", dict(grad_accum=4)),
+        ("remat", dict(remat=True)),
+    ):
+        algo = MAPPO(
+            env,
+            MAPPOConfig(rollout_len=6, ppo_epochs=2, structured_obs=True, **kw),
+            num_envs=8,
+        )
+        ts, es, obs = algo.init(jax.random.PRNGKey(0))
+        ts, es, obs, m = algo.train_step(ts, es, obs, jax.random.PRNGKey(10))
+        out[tag] = {k: float(v) for k, v in m.items()}
+        assert all(math.isfinite(v) for v in out[tag].values())
+    for tag in ("accum4", "remat"):
+        for k, v in out[tag].items():
+            np.testing.assert_allclose(
+                v, out["plain"][k], rtol=2e-3, atol=1e-4, err_msg=(tag, k)
+            )
+
+
+def test_fused_update_defers_auto_structured():
+    """ADVICE r4: MAPPOConfig(fused_update=True) on hd at N>=32 must fall
+    back to the obs path (auto-structured defers), not raise."""
+    env = ft.make_env("formation_hd_env", num_agents=81)
+    algo = MAPPO(env, MAPPOConfig(fused_update=True), num_envs=4)
+    assert not algo.structured_obs
+    import pytest
+
+    with pytest.raises(AssertionError):  # forcing both still refuses
+        MAPPO(
+            env,
+            MAPPOConfig(fused_update=True, structured_obs=True),
+            num_envs=4,
+        )
+
+
 def test_structured_multi_iter_learning_signal():
     """A few structured iterations keep finite metrics and move v_loss."""
     env = ft.make_env("formation_hd_env", num_agents=27)

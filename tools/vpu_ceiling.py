@@ -78,11 +78,6 @@ def _mix_kernel(x_ref, o_ref, *, inner, k, invk, cf, dmin):
     o_ref[:, :] = acc
 
 
-# op-slot counts per element per iteration (1 slot per ALU issue;
-# transcendentals counted as 1 — see module docstring)
-MIX_SLOTS = 18  # dx(1) s(3+1dup... counted honestly below) — set in main()
-
-
 def _pairlike_kernel(x_ref, y_ref, fx_ref, fy_ref, *, inner, tile, k, invk, cf, dmin):
     """One triangle-kernel cell per iteration: [T,128] x [T,128] -> [T,T,128]
     pair plane -> mix -> row+col force reductions.  Matches
@@ -129,6 +124,79 @@ def _time_calls(fn, args, reps, pipeline):
     return dt
 
 
+def _mxu_probes(args):
+    """MXU ceiling at the N=243 update's ACTUAL contraction shapes
+    (VERDICT r4 task 2b): the epoch's dominant matmuls are
+
+    1. the [N, N-1] 0/1-triangle contraction  einsum('ik,mkh->mih')
+       (structured_obs prefix sums, models/structured_obs.py) — batched
+       [243, 242] @ [242, 64] over the sample axis;
+    2. the MLP tail  [M·243, 64] @ [64, 64] — a skinny-K shape that can
+       occupy at most 64/128 of the systolic array's K dimension;
+    3. a [4096]³ square matmul — the chip's practical peak for reference.
+
+    Each probed in f32 and bf16 (f32 accumulation), value-fetched timing.
+    The implied-TFLOP/s column against the epoch probe of
+    tools/bench_mappo_split.py --decomp is the update's MFU denominator.
+    """
+    results = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    M = args.mxu_m
+    N, H = 243, 64
+    key = jax.random.PRNGKey(0)
+
+    def timeit(fn, a, flops):
+        out = fn(*a)
+        v = float(jnp.asarray(out).ravel()[0])
+        assert math.isfinite(v), v
+        t0 = time.perf_counter()
+        for _ in range(args.reps * args.pipeline):
+            out = fn(*a)
+        v = float(jnp.asarray(out).ravel()[0])
+        dt = (time.perf_counter() - t0) / (args.reps * args.pipeline)
+        assert math.isfinite(v), v
+        return {"ms": round(dt * 1e3, 3), "tflops_per_s": round(flops / dt / 1e12, 2)}
+
+    for dt_name, dt_ty in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        tri = (jnp.tril(jnp.ones((N, N - 1), dt_ty), -1))
+        d = jax.random.normal(key, (M, N - 1, H), dt_ty)
+        f = jax.jit(
+            lambda t, x: jnp.einsum(
+                "ik,mkh->mih", t, x, preferred_element_type=jnp.float32
+            ).sum()
+        )
+        results[f"triangle_{dt_name}"] = timeit(
+            f, (tri, d), 2.0 * M * N * (N - 1) * H
+        )
+
+        rows = M * N // 8  # the tail sees M·243 rows; probe a slice
+        xt = jax.random.normal(key, (rows, H), dt_ty)
+        wt = jax.random.normal(key, (H, H), dt_ty)
+        g = jax.jit(
+            lambda x, w: (x @ w).astype(jnp.float32).sum()
+        )
+        results[f"tail64_{dt_name}"] = timeit(g, (xt, wt), 2.0 * rows * H * H)
+
+        n = 4096
+        a = jax.random.normal(key, (n, n), dt_ty)
+        b = jax.random.normal(key, (n, n), dt_ty)
+        h = jax.jit(
+            lambda x, y: jnp.dot(
+                x, y, preferred_element_type=jnp.float32
+            ).sum()
+        )
+        results[f"square4096_{dt_name}"] = timeit(h, (a, b), 2.0 * n**3)
+
+    results["note"] = (
+        "triangle/tail at the N=243 B=1024 update shapes (M=%d); "
+        "compare tflops_per_s against the epoch probe of "
+        "bench_mappo_split --decomp for the update MFU" % M
+    )
+    print(json.dumps(results, indent=1, default=float))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=512, help="sublane rows per flat block")
@@ -139,7 +207,15 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--pipeline", type=int, default=8, help="calls per fetch")
     p.add_argument("--interpret", action="store_true")
+    p.add_argument("--mxu", action="store_true",
+                   help="probe the MXU at the N=243 update's matmul shapes "
+                   "instead of the VPU mixes (VERDICT r4 task 2b)")
+    p.add_argument("--mxu-m", type=int, default=8192,
+                   help="sample-batch axis for the MXU probes")
     args = p.parse_args()
+
+    if args.mxu:
+        return _mxu_probes(args)
 
     R, G, I, T = args.rows, args.grid, args.inner, args.tile
     k, invk, cf, dmin = 1e-3, 1e3, 100.0, 0.06
