@@ -88,14 +88,18 @@ def build_parser():
         "the sharded fused branch",
     )
     p.add_argument(
-        "--policy", choices=["ezpolicy", "random", "bfs", "bfs_state"],
+        "--policy",
+        choices=["ezpolicy", "random", "bfs", "bfs_state", "linear"],
         default="ezpolicy",
         help="ezpolicy (default): scripted policy consuming the observations "
         "- the honest end-to-end pipeline (with a random policy XLA "
         "dead-code-eliminates obs construction); bfs: hierarchical expansion; "
         "bfs_state: the same hierarchical controller fed O(N) state "
         "quantities directly (rollout_statepolicy) - same actions, no "
-        "[N, 6N] obs tensor",
+        "[N, 6N] obs tensor; linear: clip(obs @ W, -1, 1) with a fixed "
+        "random W - a generic obs consumer for scenarios whose observation "
+        "layout ezpolicy cannot parse (hd_obs/partial/partial_range), so "
+        "their bench rows still time the full obs pipeline",
     )
     return p
 
@@ -232,6 +236,14 @@ def run(args):
 
             def policy(obs, key):
                 return ft.bfs_actions(ft.ezpolicy_batched, obs, n_per_layer)
+
+    elif args.policy == "linear":
+        W_lin = jax.random.normal(
+            jax.random.PRNGKey(7), (env.scenario.obs_dim, env.act_dim)
+        ) * (1.0 / env.scenario.obs_dim ** 0.5)
+
+        def policy(obs, key):
+            return jnp.clip(obs @ W_lin, -1.0, 1.0)
 
     else:
 
