@@ -98,6 +98,14 @@ class MAPPOConfig:
     # per epoch for not storing the [M, N, H] activations.  The alternative
     # HBM lever to grad_accum; both measured in RESULTS.md r5.
     remat: bool = False
+    # Run the structured actor's block einsums + MLP tail in bfloat16
+    # (distribution params return in f32): the r5 decomposition shows the
+    # N=243 update is 97% actor fwd+bwd, part HBM-bound on [M, N, H] f32
+    # activations — bf16 halves both the activation traffic and the MXU
+    # passes.  A training-math change (~3 decimal digits on h1), so
+    # default OFF; applied consistently to collection and update so the
+    # epoch-0 PPO ratio stays 1.  structured_obs path only.
+    structured_bf16: bool = False
 
 
 @struct.dataclass
@@ -409,6 +417,7 @@ class MAPPO:
         dist = actor_forward_structured(
             params["actor"], parts["apos"], parts["avel"],
             parts["ishape"], parts["ivel"], self.cfg.hidden,
+            dtype=jnp.bfloat16 if self.cfg.structured_bf16 else None,
         )
         value = critic_forward_structured(
             params["critic"], parts["apos"], parts["avel"],

@@ -55,12 +55,24 @@ def _split_actor_w(W: Array, n: int):
     return Wv, Wr, Ws, Wi
 
 
-def hd_actor_h1(W: Array, b: Array, apos, avel, ishape, ivel) -> Array:
+def hd_actor_h1(W: Array, b: Array, apos, avel, ishape, ivel, dtype=None) -> Array:
     """``obs @ W + b`` for every agent without building obs.
 
     apos/avel/ishape: [..., N, 2]; ivel: [..., 2].  Returns [..., N, H].
+
+    ``dtype=jnp.bfloat16`` runs the block einsums and returns h1 in bf16
+    (MAPPOConfig.structured_bf16): halves both the MXU passes and the HBM
+    traffic of the [M, N, H] activations that dominate the N=243 update
+    (RESULTS.md r5 decomposition).  Positions are O(1)-scaled, so bf16's
+    8-bit mantissa costs ~3 decimal digits on h1 — a training-math change,
+    default off.
     """
     n = apos.shape[-2]
+    if dtype is not None:
+        W, apos, avel, ishape, ivel = (
+            x.astype(dtype) for x in (W, apos, avel, ishape, ivel)
+        )
+        b = b.astype(dtype)
     Wv, Wr, Ws, Wi = _split_actor_w(W, n)
     # prefix + suffix in ONE triangle (r5).  The running sums are triangular
     # MATMULS, not jnp.cumsum: on TPU cumsum lowers to an N-step sequential
@@ -134,24 +146,34 @@ def hd_critic_h1(Wc: Array, bc: Array, apos, avel, ishape, ivel) -> Array:
     )
 
 
-def _mlp_tail(p_mlp, h1pre, n_layers: int) -> Array:
+def _mlp_tail(p_mlp, h1pre, n_layers: int, dtype=None) -> Array:
     """Finish the MLP given the first layer's pre-activation (mirrors
     networks.MLP: Dense → relu per layer, no layer norm)."""
     h = nn.relu(h1pre)
     for i in range(1, n_layers):
         d = p_mlp[f"Dense_{i}"]
-        h = nn.relu(h @ d["kernel"] + d["bias"])
+        k, bi = d["kernel"], d["bias"]
+        if dtype is not None:
+            k, bi = k.astype(dtype), bi.astype(dtype)
+        h = nn.relu(h @ k + bi)
     return h
 
 
-def actor_forward_structured(params, apos, avel, ishape, ivel, hidden):
+def actor_forward_structured(params, apos, avel, ishape, ivel, hidden,
+                             dtype=None):
     """GaussianActor forward from state parts — identical math to
-    ``GaussianActor.apply(params, obs)`` on the hd observation."""
+    ``GaussianActor.apply(params, obs)`` on the hd observation (bf16
+    compute when ``dtype`` is set; the distribution parameters return
+    in f32 either way)."""
     p = params["params"]
     d0 = p["MLP_0"]["Dense_0"]
-    h1 = hd_actor_h1(d0["kernel"], d0["bias"], apos, avel, ishape, ivel)
-    h = _mlp_tail(p["MLP_0"], h1, len(hidden))
-    mean = h @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]
+    h1 = hd_actor_h1(d0["kernel"], d0["bias"], apos, avel, ishape, ivel,
+                     dtype=dtype)
+    h = _mlp_tail(p["MLP_0"], h1, len(hidden), dtype=dtype)
+    kh, bh = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+    if dtype is not None:
+        kh, bh = kh.astype(dtype), bh.astype(dtype)
+    mean = (h @ kh + bh).astype(jnp.float32)
     log_std = soft_bound(p["log_std"], -5.0, 2.0)
     return mean, jnp.broadcast_to(log_std, mean.shape)
 

@@ -143,6 +143,36 @@ def test_fused_update_defers_auto_structured():
         )
 
 
+def test_structured_bf16_close_and_learns():
+    """structured_bf16 is a flagged precision change: one iteration's
+    metrics stay within bf16 tolerance of the f32 path and training
+    signal stays finite over a few iterations."""
+    env = ft.make_env("formation_hd_env", num_agents=27)
+    out = {}
+    for bf16 in (False, True):
+        algo = MAPPO(
+            env,
+            MAPPOConfig(
+                rollout_len=6, ppo_epochs=2, structured_obs=True,
+                structured_bf16=bf16,
+            ),
+            num_envs=8,
+        )
+        ts, es, obs = algo.init(jax.random.PRNGKey(0))
+        for i in range(3):
+            ts, es, obs, m = algo.train_step(
+                ts, es, obs, jax.random.PRNGKey(10 + i)
+            )
+            mm = {k: float(v) for k, v in m.items()}
+            assert all(math.isfinite(v) for v in mm.values()), (bf16, mm)
+        out[bf16] = mm
+    # loose agreement: same order of magnitude dynamics, not exactness
+    np.testing.assert_allclose(
+        out[True]["mean_step_reward"], out[False]["mean_step_reward"],
+        rtol=0.3,
+    )
+
+
 def test_structured_multi_iter_learning_signal():
     """A few structured iterations keep finite metrics and move v_loss."""
     env = ft.make_env("formation_hd_env", num_agents=27)

@@ -244,6 +244,9 @@ def main():
                    "deliberate DCE — VERDICT r4 task 2a")
     p.add_argument("--grad-accum", type=int, default=1)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="MAPPOConfig.structured_bf16: bf16 structured-actor "
+                   "compute (flag-gated training-math change)")
     args = p.parse_args()
 
     env = ft.make_env("formation_hd_env", num_agents=args.num_agents)
@@ -252,6 +255,7 @@ def main():
         MAPPOConfig(
             fused_collect=args.fused, fused_update=args.fused_update,
             grad_accum=args.grad_accum, remat=args.remat,
+            structured_bf16=args.bf16,
         ),
         num_envs=args.num_envs,
     )
