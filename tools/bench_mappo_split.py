@@ -102,7 +102,10 @@ def update_decomp(algo, ts, es, obs, key, iters):
 
         def actor_dist(p, d):
             parts = (d["apos"], d["avel"], d["ishape"], d["ivel"])
-            return actor_forward_structured(p["actor"], *parts, cfg.hidden)
+            return actor_forward_structured(
+                p["actor"], *parts, cfg.hidden,
+                dtype=jnp.bfloat16 if cfg.structured_bf16 else None,
+            )
 
         def critic_value(p, d):
             parts = (d["apos"], d["avel"], d["ishape"], d["ivel"])

@@ -136,6 +136,10 @@ def _mxu_probes(args):
     3. a [4096]³ square matmul — the chip's practical peak for reference.
 
     Each probed in f32 and bf16 (f32 accumulation), value-fetched timing.
+    Every dispatch runs an INNER-deep data-dependent chain of the matmul --
+    the tunnel's per-execution round trip is ~26-37 ms (CLAUDE.md), so a
+    single matmul per dispatch measures RPC amortization, not compute
+    (the first cut of this probe fell to exactly that).
     The implied-TFLOP/s column against the epoch probe of
     tools/bench_mappo_split.py --decomp is the update's MFU denominator.
     """
@@ -145,6 +149,7 @@ def _mxu_probes(args):
     }
     M = args.mxu_m
     N, H = 243, 64
+    INNER = 16
     key = jax.random.PRNGKey(0)
 
     def timeit(fn, a, flops):
@@ -159,40 +164,58 @@ def _mxu_probes(args):
         assert math.isfinite(v), v
         return {"ms": round(dt * 1e3, 3), "tflops_per_s": round(flops / dt / 1e12, 2)}
 
-    for dt_name, dt_ty in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        tri = (jnp.tril(jnp.ones((N, N - 1), dt_ty), -1))
-        d = jax.random.normal(key, (M, N - 1, H), dt_ty)
-        f = jax.jit(
-            lambda t, x: jnp.einsum(
-                "ik,mkh->mih", t, x, preferred_element_type=jnp.float32
+    def chain(body):
+        def fn(*ops):
+            return jax.lax.fori_loop(
+                0, INNER, lambda i, y: body(y, *ops[1:]), ops[0]
             ).sum()
-        )
+
+        return jax.jit(fn)
+
+    for dt_name, dt_ty in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        tri = jnp.tril(jnp.ones((N, N - 1), dt_ty), -1)
+        d = (jax.random.normal(key, (M, N - 1, H)) * 0.1).astype(dt_ty)
+
+        def tri_body(y, t, _ty=dt_ty):
+            p = jnp.einsum(
+                "ik,mkh->mih", t, y, preferred_element_type=jnp.float32
+            )
+            return (p[:, : N - 1, :] * 0.008).astype(_ty)
+
         results[f"triangle_{dt_name}"] = timeit(
-            f, (tri, d), 2.0 * M * N * (N - 1) * H
+            chain(tri_body), (d, tri), INNER * 2.0 * M * N * (N - 1) * H
         )
 
-        rows = M * N // 8  # the tail sees M·243 rows; probe a slice
-        xt = jax.random.normal(key, (rows, H), dt_ty)
-        wt = jax.random.normal(key, (H, H), dt_ty)
-        g = jax.jit(
-            lambda x, w: (x @ w).astype(jnp.float32).sum()
+        rows = M * N // 8  # the tail sees M*243 rows; probe a slice
+        xt = (jax.random.normal(key, (rows, H)) * 0.5).astype(dt_ty)
+        wt = (jax.random.normal(key, (H, H)) * 0.1).astype(dt_ty)
+
+        def tail_body(y, w, _ty=dt_ty):
+            return (
+                jnp.dot(y, w, preferred_element_type=jnp.float32) * 0.3
+            ).astype(_ty)
+
+        results[f"tail64_{dt_name}"] = timeit(
+            chain(tail_body), (xt, wt), INNER * 2.0 * rows * H * H
         )
-        results[f"tail64_{dt_name}"] = timeit(g, (xt, wt), 2.0 * rows * H * H)
 
         n = 4096
-        a = jax.random.normal(key, (n, n), dt_ty)
-        b = jax.random.normal(key, (n, n), dt_ty)
-        h = jax.jit(
-            lambda x, y: jnp.dot(
-                x, y, preferred_element_type=jnp.float32
-            ).sum()
+        a = (jax.random.normal(key, (n, n)) * 0.5).astype(dt_ty)
+        b = (jax.random.normal(key, (n, n)) * (1.0 / 48.0)).astype(dt_ty)
+
+        def sq_body(y, w, _ty=dt_ty):
+            return jnp.dot(
+                y, w, preferred_element_type=jnp.float32
+            ).astype(_ty)
+
+        results[f"square4096_{dt_name}"] = timeit(
+            chain(sq_body), (a, b), INNER * 2.0 * n**3
         )
-        results[f"square4096_{dt_name}"] = timeit(h, (a, b), 2.0 * n**3)
 
     results["note"] = (
-        "triangle/tail at the N=243 B=1024 update shapes (M=%d); "
-        "compare tflops_per_s against the epoch probe of "
-        "bench_mappo_split --decomp for the update MFU" % M
+        "triangle/tail at the N=243 B=1024 update shapes (M=%d, %d-deep "
+        "in-dispatch chains); compare tflops_per_s against the epoch probe "
+        "of bench_mappo_split --decomp for the update MFU" % (M, INNER)
     )
     print(json.dumps(results, indent=1, default=float))
 
