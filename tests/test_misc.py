@@ -160,3 +160,27 @@ def test_demo_interactive_loop_headless(tmp_path, monkeypatch):
     demo.run_interactive(
         env, argparse.Namespace(steps=3), jax.random.PRNGKey(0)
     )
+
+
+def test_bench_suite_covers_baseline_configs():
+    """The driver runs no-args bench.py; its SUITE must keep certifying the
+    graded BASELINE configs (VERDICT r4 task 1): the N=3 headline, the
+    N=243 hierarchy config, and basic_formation."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    suite = bench.SUITE
+    assert suite[0] == {}  # headline first: formation_hd_env N=3 defaults
+    assert {"num_agents": 243, "policy": "bfs_state"} in suite
+    assert any(
+        o.get("scenario") == "basic_formation_env" for o in suite
+    )
+    # defaults the suite relies on
+    p = bench.build_parser()
+    a = p.parse_args([])
+    assert a.scenario == "formation_hd_env" and a.num_agents == 3
+    assert a.num_envs == 4096 and a.windows == 3
