@@ -65,6 +65,13 @@ def main():
         help="one camera per agent, tiled into each GIF frame (the "
         "reference's shared_viewer=False mode, environment.py:329-341)",
     )
+    p.add_argument(
+        "--stochastic", action="store_true",
+        help="sample the policy distribution instead of its mode (mappo "
+        "ckpts only) — evaluates the behavior policy that earns the "
+        "training reward, which for wide-σ regimes differs materially "
+        "from the greedy mean (RESULTS.md r5 N=243)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--discrete-action", action="store_true",
@@ -89,6 +96,12 @@ def main():
             "--discrete-action only applies to trained checkpoints "
             "(--policy ckpt): the scripted policies emit 2-dim velocities, "
             "not 5-way one-hots"
+        )
+    if args.stochastic and (args.policy != "ckpt" or args.num_layer > 1):
+        raise SystemExit(
+            "--stochastic applies to direct (--num-layer 1) mappo "
+            "checkpoint evals: the BFS expansion feeds deterministic "
+            "meta-velocities"
         )
     if args.num_layer > 1 and args.policy == "ckpt" and args.algo != "mappo":
         raise SystemExit(
@@ -117,7 +130,10 @@ def main():
         raw = restore_raw(args.ckpt)
         ts_raw = raw[0] if isinstance(raw, (list, tuple)) else raw["ts"]
         # batch dim 1: the single-env loop wraps obs as [1, N, do]
-        ckpt_policy, carry0 = eval_policy(args.algo, algo, ts_raw, batch_size=1)
+        ckpt_policy, carry0 = eval_policy(
+            args.algo, algo, ts_raw, batch_size=1,
+            stochastic=args.stochastic,
+        )
 
         def base_policy(obs_batch):
             # stateless shared-actor path used by the BFS expansion

@@ -106,8 +106,15 @@ def eval_policy(
     ts_raw: dict,
     batch_size: int,
     clip_continuous: bool = True,
+    stochastic: bool = False,
 ) -> Tuple[Callable, Optional[tuple]]:
     """Greedy eval policy from a raw-restored training state.
+
+    ``stochastic=True`` (mappo only) samples the policy distribution
+    instead of taking its mode — the honest evaluation of a stochastic
+    controller whose behavior policy is the thing that earns the training
+    reward (e.g. the N=243 saturated-σ regime, RESULTS.md r5); the carry
+    threads the PRNG key.
 
     ``ts_raw`` is element 0 of the checkpointed training tuple as returned by
     :func:`~gym_formation_tpu.utils.restore_raw` (plain dicts keyed by the
@@ -133,11 +140,22 @@ def eval_policy(
     if name == "mappo":
         params = ts_raw["params"]
 
+        if stochastic:
+
+            def policy(obs, carry):
+                carry, k = jax.random.split(carry)
+                a = algo._dist_sample(k, algo._apply_actor(params["actor"], obs))
+                return (a if algo.discrete else _clip(a)), carry
+
+            return policy, jax.random.PRNGKey(1234)
+
         def policy(obs, carry=None):
             a = algo._dist_mode(algo._apply_actor(params["actor"], obs))
             return (a if algo.discrete else _clip(a)), carry
 
         return policy, None
+    if stochastic:
+        raise SystemExit("--stochastic eval is implemented for mappo only")
 
     if name == "rmappo":
         params = ts_raw["params"]
