@@ -66,6 +66,13 @@ def main():
         "reference's shared_viewer=False mode, environment.py:329-341)",
     )
     p.add_argument(
+        "--no-clip", action="store_true",
+        help="don't clip continuous checkpoint actions to the ±1 control "
+        "range: the clip matches reference agents (maddpg-v1/agent.py:22), "
+        "but a policy trained on the unclipped env (mappo default) is only "
+        "reproduced faithfully without it",
+    )
+    p.add_argument(
         "--stochastic", action="store_true",
         help="sample the policy distribution instead of its mode (mappo "
         "ckpts only) — evaluates the behavior policy that earns the "
@@ -132,6 +139,7 @@ def main():
         # batch dim 1: the single-env loop wraps obs as [1, N, do]
         ckpt_policy, carry0 = eval_policy(
             args.algo, algo, ts_raw, batch_size=1,
+            clip_continuous=not args.no_clip,
             stochastic=args.stochastic,
         )
 
