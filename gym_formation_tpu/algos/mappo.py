@@ -98,6 +98,18 @@ class MAPPOConfig:
     # per epoch for not storing the [M, N, H] activations.  The alternative
     # HBM lever to grad_accum; both measured in RESULTS.md r5.
     remat: bool = False
+    # SAC-style automatic entropy-coefficient targeting: learn log α by
+    # gradient descent on  log α · (entropy − target)  and use
+    # stop_grad(α) as the entropy bonus weight.  The r5 N=243 campaign
+    # measured the fixed-coefficient cliff at ill-scaled rewards: 0.01
+    # explodes σ through the soft_bound cap, 0/1e-5 collapse it to ~0 —
+    # auto-α holds entropy at `entropy_target` nats/agent regardless of
+    # the reward scale.  α is stored as params['log_alpha'] (same Adam,
+    # no state-structure change, checkpoints stay compatible per-config).
+    auto_entropy: bool = False
+    # target policy entropy in nats per agent; None = act_dim·(1.42 + ln 0.5)
+    # (a diagonal Gaussian at σ = 0.5 per dim)
+    entropy_target: Optional[float] = None
     # Run the structured actor's block einsums + MLP tail in bfloat16
     # (distribution params return in f32): the r5 decomposition shows the
     # N=243 update is 97% actor fwd+bwd, part HBM-bound on [M, N, H] f32
@@ -219,6 +231,18 @@ class MAPPO:
                 "fused_update computes whole-batch gradients in one kernel; "
                 "grad_accum/remat apply to the jax.grad path only"
             )
+            assert not cfg.auto_entropy, (
+                "auto_entropy needs the jax.grad update path"
+            )
+        if cfg.auto_entropy:
+            assert not self.discrete or cfg.entropy_target is not None, (
+                "set an explicit entropy_target for categorical policies"
+            )
+        self.entropy_target = (
+            cfg.entropy_target
+            if cfg.entropy_target is not None
+            else float(self.act_dim) * (1.41894 + float(np.log(0.5)))
+        )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=cfg.adam_eps),
@@ -248,6 +272,11 @@ class MAPPO:
                         jax.random.split(kc, self.n_agents)
                     ),
                 }
+            if self.cfg.auto_entropy:
+                # α init: the fixed-coefficient default, adapted from there
+                params["log_alpha"] = jnp.log(
+                    jnp.asarray(max(self.cfg.entropy_coef, 1e-4))
+                )
             return MAPPOState(
                 params=params,
                 opt_state=self.tx.init(params),
@@ -528,14 +557,28 @@ class MAPPO:
                 huber(v_clip - target, cfg.huber_delta),
             )
         )
-        total = pg_loss - cfg.entropy_coef * entropy + cfg.value_coef * v_loss
+        if cfg.auto_entropy:
+            log_alpha = params["log_alpha"]
+            alpha = jax.lax.stop_gradient(jnp.exp(log_alpha))
+            # descent on log α · (H − H*): α rises while H < H*, falls
+            # while H > H*; the bonus itself uses stop_grad(α)
+            alpha_loss = log_alpha * (
+                jax.lax.stop_gradient(entropy) - self.entropy_target
+            )
+            ent_term = alpha * entropy - alpha_loss
+        else:
+            ent_term = cfg.entropy_coef * entropy
+        total = pg_loss - ent_term + cfg.value_coef * v_loss
         approx_kl = jnp.mean(batch["logp"] - logp)
-        return total, {
+        metrics = {
             "pg_loss": pg_loss,
             "v_loss": v_loss,
             "entropy": entropy,
             "approx_kl": approx_kl,
         }
+        if cfg.auto_entropy:
+            metrics["alpha"] = jnp.exp(params["log_alpha"])
+        return total, metrics
 
     def _update(self, ts: MAPPOState, data, key):
         cfg = self.cfg
@@ -568,10 +611,10 @@ class MAPPO:
                 ), None
 
             zg = jax.tree.map(jnp.zeros_like, ts.params)
-            zm = {
-                k: jnp.zeros(())
-                for k in ("pg_loss", "v_loss", "entropy", "approx_kl")
-            }
+            mkeys = ("pg_loss", "v_loss", "entropy", "approx_kl") + (
+                ("alpha",) if cfg.auto_entropy else ()
+            )
+            zm = {k: jnp.zeros(()) for k in mkeys}
             (gsum, msum), _ = jax.lax.scan(acc_fn, (zg, zm), chunks)
             inv = 1.0 / K  # equal chunks: mean of chunk-means = global mean
             return (

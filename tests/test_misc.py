@@ -168,11 +168,23 @@ def test_bench_suite_covers_baseline_configs():
     N=243 hierarchy config, and basic_formation."""
     import importlib.util, os
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    # bench.py enables the persistent compilation cache at import; that
+    # global must not leak into the rest of the suite (XLA:CPU executable
+    # serialization segfaults writing some of the later tests' programs —
+    # observed on the bf16 structured train_step)
+    import gym_formation_tpu.utils.compile_cache as cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_enabled = cc._enabled_dir
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        cc._enabled_dir = prev_enabled
     suite = bench.SUITE
     assert suite[0] == {}  # headline first: formation_hd_env N=3 defaults
     assert {"num_agents": 243, "policy": "bfs_state"} in suite

@@ -173,6 +173,50 @@ def test_structured_bf16_close_and_learns():
     )
 
 
+def test_auto_entropy_targets_alpha():
+    """auto_entropy: α moves log-linearly toward holding entropy at the
+    target — rising while entropy is under target, falling above — and
+    training stays finite (the fixed-coefficient cliff regression of the
+    r5 N=243 campaign)."""
+    env = ft.make_env("formation_hd_env", num_agents=3)
+    # target far above the init entropy (~2.84 at sigma=1): alpha must RISE
+    algo_hi = MAPPO(
+        env,
+        MAPPOConfig(rollout_len=5, ppo_epochs=2, auto_entropy=True,
+                    entropy_target=5.0),
+        num_envs=8,
+    )
+    ts, es, obs = algo_hi.init(jax.random.PRNGKey(0))
+    a0 = float(jnp.exp(ts.params["log_alpha"]))
+    for i in range(3):
+        ts, es, obs, m = algo_hi.train_step(ts, es, obs, jax.random.PRNGKey(i))
+        assert all(math.isfinite(float(v)) for v in m.values())
+    assert float(m["alpha"]) > a0  # pushing entropy up toward 5.0
+
+    # target far below: alpha must FALL
+    algo_lo = MAPPO(
+        env,
+        MAPPOConfig(rollout_len=5, ppo_epochs=2, auto_entropy=True,
+                    entropy_target=-3.0),
+        num_envs=8,
+    )
+    ts, es, obs = algo_lo.init(jax.random.PRNGKey(0))
+    for i in range(3):
+        ts, es, obs, m = algo_lo.train_step(ts, es, obs, jax.random.PRNGKey(i))
+    assert float(m["alpha"]) < a0
+
+    # grad_accum composes with the alpha metric key
+    algo_ga = MAPPO(
+        env,
+        MAPPOConfig(rollout_len=5, ppo_epochs=1, auto_entropy=True,
+                    grad_accum=2),
+        num_envs=8,
+    )
+    ts, es, obs = algo_ga.init(jax.random.PRNGKey(0))
+    ts, es, obs, m = algo_ga.train_step(ts, es, obs, jax.random.PRNGKey(5))
+    assert "alpha" in m and math.isfinite(float(m["alpha"]))
+
+
 def test_structured_multi_iter_learning_signal():
     """A few structured iterations keep finite metrics and move v_loss."""
     env = ft.make_env("formation_hd_env", num_agents=27)
