@@ -98,15 +98,20 @@ class MAPPOConfig:
     # per epoch for not storing the [M, N, H] activations.  The alternative
     # HBM lever to grad_accum; both measured in RESULTS.md r5.
     remat: bool = False
-    # SAC-style automatic entropy-coefficient targeting: learn log α by
-    # gradient descent on  log α · (entropy − target)  and use
-    # stop_grad(α) as the entropy bonus weight.  The r5 N=243 campaign
-    # measured the fixed-coefficient cliff at ill-scaled rewards: 0.01
-    # explodes σ through the soft_bound cap, 0/1e-5 collapse it to ~0 —
-    # auto-α holds entropy at `entropy_target` nats/agent regardless of
-    # the reward scale.  α is stored as params['log_alpha'] (same Adam,
-    # no state-structure change, checkpoints stay compatible per-config).
+    # Automatic entropy-coefficient targeting: learn a SIGNED coefficient
+    # α by gradient descent on  α · (entropy − target); the bonus weight
+    # is stop_grad(clip(α, ±alpha_max)).  Unlike SAC's α = exp(·) ≥ 0,
+    # α may go NEGATIVE — an entropy *penalty* — because in this
+    # environment the pg gradient itself drives σ up (saturated-noise
+    # bang-bang is locally attractive; r5 N=243 campaign) and a
+    # non-negative bonus can only stop helping, never push back
+    # (measured: α → 0 while entropy kept climbing, RESULTS.md r5).
+    # α is stored as params['log_alpha'] (same Adam, no state-structure
+    # change, checkpoints stay compatible per-config).
     auto_entropy: bool = False
+    # |bonus weight| cap for auto_entropy, so the entropy term can never
+    # dominate the normalized-advantage pg terms
+    alpha_max: float = 0.05
     # target policy entropy in nats per agent; None = act_dim·(1.42 + ln 0.5)
     # (a diagonal Gaussian at σ = 0.5 per dim)
     entropy_target: Optional[float] = None
@@ -274,9 +279,7 @@ class MAPPO:
                 }
             if self.cfg.auto_entropy:
                 # α init: the fixed-coefficient default, adapted from there
-                params["log_alpha"] = jnp.log(
-                    jnp.asarray(max(self.cfg.entropy_coef, 1e-4))
-                )
+                params["log_alpha"] = jnp.asarray(self.cfg.entropy_coef)
             return MAPPOState(
                 params=params,
                 opt_state=self.tx.init(params),
@@ -558,14 +561,16 @@ class MAPPO:
             )
         )
         if cfg.auto_entropy:
-            log_alpha = params["log_alpha"]
-            alpha = jax.lax.stop_gradient(jnp.exp(log_alpha))
-            # descent on log α · (H − H*): α rises while H < H*, falls
-            # while H > H*; the bonus itself uses stop_grad(α)
-            alpha_loss = log_alpha * (
+            alpha_raw = params["log_alpha"]  # raw SIGNED coefficient
+            coef = jax.lax.stop_gradient(
+                jnp.clip(alpha_raw, -cfg.alpha_max, cfg.alpha_max)
+            )
+            # descent on α · (H − H*): α falls while H > H* (through zero
+            # into a penalty), rises while H < H*
+            alpha_loss = alpha_raw * (
                 jax.lax.stop_gradient(entropy) - self.entropy_target
             )
-            ent_term = alpha * entropy - alpha_loss
+            ent_term = coef * entropy - alpha_loss
         else:
             ent_term = cfg.entropy_coef * entropy
         total = pg_loss - ent_term + cfg.value_coef * v_loss
@@ -577,7 +582,7 @@ class MAPPO:
             "approx_kl": approx_kl,
         }
         if cfg.auto_entropy:
-            metrics["alpha"] = jnp.exp(params["log_alpha"])
+            metrics["alpha"] = params["log_alpha"]
         return total, metrics
 
     def _update(self, ts: MAPPOState, data, key):

@@ -12,6 +12,12 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# CLI modules (demo.py, bench.py, ...) call enable_compilation_cache() at
+# import, and several tests exec them; the persistent cache must stay OFF
+# in the suite — XLA:CPU's executable serialization segfaults writing some
+# programs (observed r5 on the bf16 structured train_step), and tests gain
+# nothing from a disk cache.  enable_compilation_cache honors this switch.
+os.environ["GFT_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
 
