@@ -34,3 +34,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """This jaxlib's XLA:CPU backend segfaults compiling a large program
+    late in a long session (observed r5: whichever MAPPO train_step
+    compile lands around the ~165th test, while the same test passes
+    standalone).  Dropping the accumulated executables between modules
+    keeps the backend under the crash threshold; within-module caching
+    still amortizes compiles."""
+    yield
+    jax.clear_caches()
